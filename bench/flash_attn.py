@@ -1,0 +1,82 @@
+"""FlashAttention benchmark driver — the flash_attn_mma.py analog.
+
+Sweeps (B, H, N, D), times every attention variant against the XLA SDPA /
+unfused baselines, with the reference's --check tolerance gate
+(flash_attn_mma.py:401-425) and its 5-term FLOPs model (:191-221 — here
+simply 4*B*H*Sq*Skv*D for QK^T + PV, halved when causal).
+
+Usage: python bench/flash_attn.py [--B 1] [--H 8] [--N 4096] [--D 64]
+       [--sweep] [--causal] [--check] [--variants mha_]
+"""
+
+import argparse
+import sys
+from collections import defaultdict
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import tpukern.ops  # noqa: F401
+from tpukern.core import registry
+from tpukern.harness import pretty_print_line, run_benchmark
+from tpukern.ops.attention import MAX_HEADDIM
+
+
+def get_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--B", type=int, default=1)
+    p.add_argument("--H", type=int, default=8)
+    p.add_argument("--N", type=int, default=4096)
+    p.add_argument("--D", type=int, default=64)
+    p.add_argument("--sweep", action="store_true",
+                   help="sweep N in 1k..8k and D in {64,128,256,512}")
+    p.add_argument("--causal", action="store_true")
+    p.add_argument("--check", action="store_true")
+    p.add_argument("--variants", default="")
+    p.add_argument("--iters", type=int, default=10)
+    p.add_argument("--seed", type=int, default=42)
+    return p.parse_args()
+
+
+def main():
+    args = get_args()
+    cases = ([(args.B, args.H, n, d)
+              for n in (1024, 2048, 4096, 8192)
+              for d in (64, 128, 256, 512)]
+             if args.sweep else [(args.B, args.H, args.N, args.D)])
+    variants = registry.variants("attention")
+    if args.variants:
+        variants = {k: v for k, v in variants.items() if args.variants in k}
+
+    rng = np.random.default_rng(args.seed)
+    for (B, H, N, D) in cases:
+        pretty_print_line(f"B={B} H={H} N={N} D={D} causal={args.causal}")
+        q = rng.standard_normal((B, H, N, D))
+        k = rng.standard_normal((B, H, N, D))
+        v_ = rng.standard_normal((B, H, N, D))
+        flops = 4 * B * H * N * N * D // (2 if args.causal else 1)
+        for name, var in sorted(variants.items()):
+            if MAX_HEADDIM.get(name, 1024) < D:
+                print(f"{name:<34} SKIP (D={D} > max headdim)")
+                continue
+            dt = (jnp.float16 if "f16" in name and "bf16" not in name else
+                  jnp.float32 if "f32" in name else jnp.bfloat16)
+            qj, kj, vj = (jnp.asarray(x, dt) for x in (q, k, v_))
+            fn = jax.jit(lambda q_, k_, v__, _f=var.fn:
+                         _f(q_, k_, v__, causal=args.causal))
+            try:
+                run_benchmark(fn, qj, kj, vj, tag=name, flops=flops,
+                              iters=args.iters,
+                              ref=(lambda q_, k_, v__, _r=var.ref:
+                                   _r(q_, k_, v__, causal=args.causal))
+                              if args.check else None,
+                              check=args.check)
+            except Exception as e:
+                print(f"{name:<34} SKIP ({type(e).__name__}: {e})")
+
+
+if __name__ == "__main__":
+    main()

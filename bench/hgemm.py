@@ -1,0 +1,95 @@
+"""HGEMM benchmark driver — the kernels/hgemm/hgemm.py analog.
+
+Sweeps MNK, times every matmul variant (incl. the XLA/cuBLAS-role
+baseline), tracks the best TFLOPS per shape, prints a top-k league table,
+and optionally plots TFLOPS curves (reference hgemm.py:195-275).
+
+Usage: python bench/hgemm.py [--mnk 4096] [--sweep] [--variants hgemm_*]
+       [--check] [--plot out.png] [--iters 20]
+"""
+
+import argparse
+import sys
+from collections import defaultdict
+
+sys.path.insert(0, ".")
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+import tpukern.ops  # noqa: F401
+from tpukern.core import registry
+from tpukern.harness import pretty_print_line, run_benchmark
+
+
+def get_args():
+    p = argparse.ArgumentParser()
+    p.add_argument("--mnk", type=int, default=4096)
+    p.add_argument("--sweep", action="store_true",
+                   help="sweep M=N=K over 1024..8192")
+    p.add_argument("--variants", default="",
+                   help="substring filter on variant names")
+    p.add_argument("--check", action="store_true")
+    p.add_argument("--plot", default="")
+    p.add_argument("--iters", type=int, default=20)
+    p.add_argument("--warmup", type=int, default=3)
+    p.add_argument("--topk", type=int, default=8)
+    return p.parse_args()
+
+
+def main():
+    args = get_args()
+    shapes = ([(s, s, s) for s in (1024, 2048, 4096, 6144, 8192)]
+              if args.sweep else [(args.mnk,) * 3])
+    variants = registry.variants("matmul")
+    if args.variants:
+        variants = {k: v for k, v in variants.items() if args.variants in k}
+
+    rng = np.random.default_rng(0)
+    stats = defaultdict(list)  # name -> [(mnk, tflops)]
+
+    for (M, N, K) in shapes:
+        pretty_print_line(f"M={M} N={N} K={K}")
+        a_f32 = rng.standard_normal((M, K))
+        b_f32 = rng.standard_normal((K, N))
+        for name, v in sorted(variants.items()):
+            a = jnp.asarray(a_f32)
+            b = jnp.asarray(b_f32.T if "tn" in name else b_f32)
+            fn = jax.jit(v.fn)
+            try:
+                r = run_benchmark(fn, a, b, tag=name, flops=2 * M * N * K,
+                                  iters=args.iters, warmup=args.warmup,
+                                  ref=v.ref if args.check else None,
+                                  check=args.check)
+                stats[name].append((M, r.tflops))
+            except Exception as e:
+                print(f"{name:<34} SKIP ({type(e).__name__}: {e})")
+        del a_f32, b_f32
+
+    pretty_print_line("top-k by peak TFLOPS")
+    league = sorted(((max(t for _, t in rows), n) for n, rows in stats.items()),
+                    reverse=True)
+    for tf, n in league[:args.topk]:
+        print(f"{n:<34} {tf:8.2f} TFLOPS")
+
+    if args.plot:
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        plt.figure(figsize=(10, 6))
+        for tf, n in league[:args.topk]:
+            rows = stats[n]
+            plt.plot([m for m, _ in rows], [t for _, t in rows], label=n,
+                     marker="o")
+        plt.xlabel("M=N=K")
+        plt.ylabel("TFLOPS")
+        plt.legend(fontsize=7)
+        plt.grid(alpha=0.3)
+        plt.title("tpukern GEMM ladder")
+        plt.savefig(args.plot, dpi=120, bbox_inches="tight")
+        print(f"saved {args.plot}")
+
+
+if __name__ == "__main__":
+    main()

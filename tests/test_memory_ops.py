@@ -1,0 +1,80 @@
+"""RoPE, embedding, histogram, transpose, NMS — memory/layout suite."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import tpukern.ops  # noqa: F401
+from tpukern.core import registry
+from tpukern.core.tolerances import check_all_close
+from tpukern.ops import embedding as emb
+from tpukern.ops import histogram as hist
+from tpukern.ops import nms as nms_mod
+from tpukern.ops import rope as rope_mod
+from tpukern.ops import transpose as tr
+
+
+@pytest.mark.parametrize("name", sorted(registry.variants("rope")))
+def test_rope_variants(name, rng):
+    v = registry.get("rope", name)
+    x = jnp.asarray(rng.standard_normal((64, 128)), jnp.float32)
+    out = v.fn(x)
+    ref = v.ref(x.astype(out.dtype))
+    check_all_close(out, ref, dtype=out.dtype, name=name)
+
+
+def test_rope_unaligned_rows(rng):
+    x = jnp.asarray(rng.standard_normal((37, 64)), jnp.float32)
+    out = rope_mod.rope(x)
+    ref = rope_mod.rope_ref(x)
+    check_all_close(out, ref, dtype=jnp.float32, name="rope37")
+
+
+def test_rope_interleaved_matches_layout(rng):
+    x = jnp.asarray(rng.standard_normal((32, 64)), jnp.float32)
+    out = rope_mod.rope_interleaved(x)
+    ref = rope_mod.rope_interleaved_ref(x)
+    check_all_close(out, ref, dtype=jnp.float32, name="rope_interleaved")
+
+
+@pytest.mark.parametrize("name", sorted(registry.variants("embedding")))
+def test_embedding_variants(name, rng):
+    v = registry.get("embedding", name)
+    V, D, S = 512, 256, 64
+    w = jnp.asarray(rng.standard_normal((V, D)), jnp.float32)
+    idx = jnp.asarray(rng.integers(0, V, S), jnp.int32)
+    out = v.fn(idx, w)
+    ref = emb.embedding_ref(idx, w.astype(out.dtype))
+    check_all_close(out, ref, dtype=out.dtype, name=name)
+
+
+@pytest.mark.parametrize("nbins", [100, 256])
+def test_histogram(nbins, rng):
+    x = jnp.asarray(rng.integers(0, nbins, 10000), jnp.int32)
+    out = hist.histogram(x, nbins)
+    ref = hist.histogram_ref(x, nbins)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+@pytest.mark.parametrize("name", sorted(registry.variants("transpose")))
+def test_transpose_variants(name, rng):
+    v = registry.get("transpose", name)
+    x = jnp.asarray(rng.standard_normal((384, 256)), jnp.float32)
+    out = v.fn(x)
+    ref = x.astype(out.dtype).T
+    np.testing.assert_allclose(np.asarray(out, np.float32),
+                               np.asarray(ref, np.float32))
+
+
+def test_nms(rng):
+    n = 64
+    centers = rng.uniform(0, 100, (n, 2))
+    sizes = rng.uniform(5, 30, (n, 2))
+    boxes = np.concatenate([centers - sizes / 2, centers + sizes / 2], axis=1)
+    scores = rng.uniform(0, 1, n)
+    out = nms_mod.nms(jnp.asarray(boxes, jnp.float32),
+                      jnp.asarray(scores, jnp.float32), 0.5)
+    ref = nms_mod.nms_ref(boxes, scores, 0.5)
+    kept_out = sorted(int(i) for i in np.asarray(out) if i >= 0)
+    kept_ref = sorted(int(i) for i in ref if i >= 0)
+    assert kept_out == kept_ref

@@ -1,0 +1,44 @@
+"""Paged-KV decode attention vs XLA gather reference."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+import tpukern.ops  # noqa: F401
+from tpukern.ops import paged_attention as pa
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_paged_decode(dtype, rng):
+    B, Hq, Hkv, D = 2, 4, 2, 64
+    page_size, pages_per_seq, P = 16, 8, 32
+    q = jnp.asarray(rng.standard_normal((B, Hq, D)), dtype)
+    k_pages = jnp.asarray(rng.standard_normal((Hkv, P, page_size, D)), dtype)
+    v_pages = jnp.asarray(rng.standard_normal((Hkv, P, page_size, D)), dtype)
+    lengths = jnp.asarray([100, 37], jnp.int32)
+    table = jnp.asarray(
+        rng.permutation(P)[: B * pages_per_seq].reshape(B, pages_per_seq),
+        jnp.int32)
+    out = pa.paged_attention(q, k_pages, v_pages, lengths, table,
+                             pages_per_block=4)
+    ref = pa.paged_attention_ref(q, k_pages, v_pages, lengths, table)
+    tol = 1e-4 if dtype == jnp.float32 else 3e-2
+    np.testing.assert_allclose(np.asarray(out, np.float64),
+                               np.asarray(ref, np.float64),
+                               rtol=tol, atol=tol)
+
+
+def test_paged_decode_gqa_group1(rng):
+    # Hq == Hkv (group of 1)
+    B, H, D = 1, 2, 64
+    page_size, pages_per_seq, P = 16, 4, 8
+    q = jnp.asarray(rng.standard_normal((B, H, D)), jnp.float32)
+    k_pages = jnp.asarray(rng.standard_normal((H, P, page_size, D)), jnp.float32)
+    v_pages = jnp.asarray(rng.standard_normal((H, P, page_size, D)), jnp.float32)
+    lengths = jnp.asarray([50], jnp.int32)
+    table = jnp.asarray(np.arange(pages_per_seq)[None], jnp.int32)
+    out = pa.paged_attention(q, k_pages, v_pages, lengths, table,
+                             pages_per_block=2)
+    ref = pa.paged_attention_ref(q, k_pages, v_pages, lengths, table)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)

@@ -1,0 +1,89 @@
+"""Collectives + ring attention on the 8-device virtual CPU mesh."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+from jax.sharding import Mesh
+
+import tpukern.ops  # noqa: F401
+from tpukern.parallel import collectives as coll
+from tpukern.parallel.ring_attention import ring_attention
+from tpukern.ops.attention import attention_ref
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    devs = np.array(jax.devices())
+    return Mesh(devs, axis_names=("x",))
+
+
+def test_p2p(mesh, rng):
+    n = mesh.shape["x"]
+    x = jnp.arange(n * 4, dtype=jnp.float32).reshape(n, 4)
+    out = coll.p2p(x, mesh, "x", shift=1)
+    np.testing.assert_array_equal(np.asarray(out), np.roll(np.asarray(x), 1, 0))
+
+
+def test_broadcast(mesh):
+    n = mesh.shape["x"]
+    x = jnp.arange(n * 3, dtype=jnp.float32).reshape(n, 3)
+    out = coll.broadcast(x, mesh, "x", root=2)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(x[2]))
+
+
+def test_scatter_gather(mesh, rng):
+    n = mesh.shape["x"]
+    x = jnp.asarray(rng.standard_normal((n * 2, 8)), jnp.float32)
+    sharded = coll.scatter(x, mesh, "x")
+    gathered = coll.gather(sharded, mesh, "x")
+    np.testing.assert_array_equal(np.asarray(gathered), np.asarray(x))
+
+
+def test_all_reduce(mesh, rng):
+    n = mesh.shape["x"]
+    x = jnp.asarray(rng.standard_normal((n, 16)), jnp.float32)
+    out = coll.all_reduce(x, mesh, "x", op="sum")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x).sum(0),
+                               rtol=1e-5, atol=1e-5)
+    out = coll.reduce(x, mesh, "x", op="max")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x).max(0))
+
+
+def test_reduce_scatter(mesh, rng):
+    n = mesh.shape["x"]
+    x = jnp.asarray(rng.standard_normal((n, n * 4)), jnp.float32)
+    out = coll.reduce_scatter(x, mesh, "x")
+    # device i ends with sum over operands of chunk i; global out = concat
+    expected = np.asarray(x).sum(0)
+    np.testing.assert_allclose(np.asarray(out).reshape(-1), expected,
+                               rtol=1e-5, atol=1e-5)
+
+
+def test_all_to_all(mesh, rng):
+    n = mesh.shape["x"]
+    x = jnp.arange(n * n * 2, dtype=jnp.float32).reshape(n, n * 2)
+    out = coll.all_to_all(x, mesh, "x")
+    xs = np.asarray(x).reshape(n, n, 2)
+    expected = xs.transpose(1, 0, 2).reshape(n * n, 2)
+    np.testing.assert_array_equal(np.asarray(out).reshape(n * n, 2), expected)
+
+
+def test_all_gather_object(mesh, rng):
+    n = mesh.shape["x"]
+    tree = {"a": jnp.arange(n * 2, dtype=jnp.float32).reshape(n, 2)}
+    out = coll.all_gather_object(tree, mesh, "x")
+    np.testing.assert_array_equal(np.asarray(out["a"]), np.asarray(tree["a"]))
+
+
+@pytest.mark.parametrize("causal", [False, True])
+def test_ring_attention(mesh, causal, rng):
+    B, H, S, D = 1, 2, 512, 64
+    q = jnp.asarray(rng.standard_normal((B, H, S, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, H, S, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, H, S, D)), jnp.float32)
+    out = ring_attention(q, k, v, mesh, axis="x", causal=causal, block_q=64,
+                         block_k=64)
+    ref = attention_ref(q, k, v, causal=causal)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)

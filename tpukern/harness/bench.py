@@ -1,0 +1,184 @@
+"""Benchmark/test harness: the TPU analog of the reference's per-op .py
+harnesses.
+
+Reference pattern (kernels/elementwise/elementwise.py:25-56,
+kernels/hgemm/hgemm.py:85-192, kernels/flash-attn/flash_attn_mma.py:230-350):
+`run_benchmark(fn, *args)` does warmup -> synchronized timing loop -> prints
+the first output values + mean latency (+TFLOPS for GEMM/attention), with an
+opt-in correctness check against a reference implementation. We keep that
+exact workflow (block_until_ready replaces cuda.synchronize) and add
+roofline fraction reporting (BASELINE.json north-star: "report roofline
+fraction per kernel").
+"""
+
+import dataclasses
+import time
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax import lax
+
+from tpukern.core.tolerances import check_all_close
+
+# v5e peak numbers (per chip). Used only for roofline fractions.
+PEAKS = {
+    "tpu v5 lite": dict(bf16_tflops=197.0, f32_tflops=98.0, hbm_gbps=819.0),
+    "tpu v5": dict(bf16_tflops=459.0, f32_tflops=229.0, hbm_gbps=2765.0),
+    "tpu v6 lite": dict(bf16_tflops=918.0, f32_tflops=459.0, hbm_gbps=1640.0),
+    "cpu": dict(bf16_tflops=1.0, f32_tflops=1.0, hbm_gbps=50.0),
+}
+
+
+def device_peaks():
+    kind = jax.devices()[0].device_kind.lower()
+    for key, peaks in PEAKS.items():
+        if key in kind:
+            return peaks
+    return PEAKS["cpu"]
+
+
+def pretty_print_line(msg: str = "", sep: str = "-", width: int = 120):
+    """Sectioned stdout dividers (reference hgemm/tools/utils.py:96-102)."""
+    if not msg:
+        print(sep * width)
+        return
+    pad = max(width - len(msg) - 2, 0)
+    left = pad // 2
+    print(f"{sep * left} {msg} {sep * (pad - left)}")
+
+
+def _perturb(x, i):
+    """Loop-index-dependent no-op-sized perturbation: defeats loop-invariant
+    code motion without changing values meaningfully."""
+    if jnp.issubdtype(x.dtype, jnp.floating):
+        return x + (i.astype(jnp.float32) * 1e-30).astype(x.dtype)
+    if jnp.issubdtype(x.dtype, jnp.integer):
+        return x + jnp.where(i < 0, 1, 0).astype(x.dtype)
+    return x
+
+
+def _consume(out):
+    """Reduce every float/int leaf so XLA cannot dead-code the computation."""
+    total = jnp.float32(0.0)
+    for leaf in jax.tree.leaves(out):
+        if hasattr(leaf, "dtype") and jnp.issubdtype(leaf.dtype, jnp.number):
+            total += jnp.sum(leaf).astype(jnp.float32)
+    return total
+
+
+def device_time(fn, *args, iters_lo=4, iters_hi=20, **kw):
+    """Per-call device seconds via an ON-DEVICE fori_loop, two-point slope.
+
+    Host-side timing is unreliable on remote-tunneled TPUs (dispatch is
+    fire-and-forget; block_until_ready has ~tens-of-ms RPC latency), so the
+    repetition loop runs inside one jit program: each iteration perturbs an
+    input by the loop index (prevents hoisting) and folds the full output
+    into the carry (prevents dead-code elimination). Two loop lengths cancel
+    the fixed RPC/dispatch overhead.
+    """
+    def make(iters):
+        @jax.jit
+        def looped(*a):
+            def body(i, carry):
+                a2 = (_perturb(a[0], i),) + tuple(a[1:])
+                return carry + _consume(fn(*a2, **kw))
+            return lax.fori_loop(0, iters, body, jnp.float32(0.0))
+        return looped
+
+    times = {}
+    for iters in (iters_lo, iters_hi):
+        f = make(iters)
+        r = f(*args)
+        np.asarray(r)  # settle compile + queue
+        t0 = time.perf_counter()
+        np.asarray(f(*args))
+        times[iters] = time.perf_counter() - t0
+    sec = max((times[iters_hi] - times[iters_lo]) / (iters_hi - iters_lo),
+              1e-9)
+    return sec
+
+
+def time_fn(fn, *args, warmup=3, iters=20, **kw):
+    """Mean seconds per call. On TPU, uses the on-device slope timer; on
+    CPU/interpret, synchronized wall-clock."""
+    r = fn(*args, **kw)
+    if jax.default_backend() == "tpu":
+        try:
+            return device_time(fn, *args, iters_lo=max(2, iters // 5),
+                               iters_hi=iters, **kw), r
+        except Exception:
+            pass  # fall back to wall clock (e.g. non-jittable fn)
+    for _ in range(warmup - 1):
+        r = fn(*args, **kw)
+    jax.block_until_ready(r)
+    t0 = time.perf_counter()
+    for _ in range(iters):
+        r = fn(*args, **kw)
+    jax.block_until_ready(r)
+    return (time.perf_counter() - t0) / iters, r
+
+
+@dataclasses.dataclass
+class BenchResult:
+    tag: str
+    mean_ms: float
+    tflops: float | None = None
+    gbps: float | None = None
+    roofline_frac: float | None = None
+    max_diff: float | None = None
+    mean_diff: float | None = None
+    out_head: tuple = ()
+
+
+def run_benchmark(fn, *args, tag="", warmup=3, iters=20, flops=None,
+                  bytes_moved=None, ref=None, check=False, check_dtype=None,
+                  show=True, peak_tflops=None, **kw) -> BenchResult:
+    """Time fn(*args), optionally check vs ref, print a reference-style row.
+
+    flops/bytes_moved: numbers OR callables over args (registry models).
+    """
+    sec, out = time_fn(fn, *args, warmup=warmup, iters=iters, **kw)
+    out0 = out[0] if isinstance(out, (tuple, list)) else out
+
+    if callable(flops):
+        flops = flops(*args, **kw)
+    if callable(bytes_moved):
+        bytes_moved = bytes_moved(*args, **kw)
+
+    res = BenchResult(tag=tag, mean_ms=sec * 1e3)
+    peaks = device_peaks()
+    fracs = []
+    if flops:
+        res.tflops = flops / sec / 1e12
+        peak = peak_tflops or peaks["bf16_tflops"]
+        fracs.append(res.tflops / peak)
+    if bytes_moved:
+        res.gbps = bytes_moved / sec / 1e9
+        fracs.append(res.gbps / peaks["hbm_gbps"])
+    if fracs:
+        res.roofline_frac = max(fracs)
+
+    if check and ref is not None:
+        expected = ref(*args, **kw)
+        expected0 = expected[0] if isinstance(expected, (tuple, list)) else expected
+        res.max_diff, res.mean_diff = check_all_close(
+            out0, expected0, dtype=check_dtype or out0.dtype, name=tag)
+
+    flat = np.asarray(out0).reshape(-1)
+    res.out_head = tuple(float(v) for v in flat[:2])
+
+    if show:
+        parts = [f"{tag:<34}", f"out[:2]=[{res.out_head[0]:+.6f},"
+                 f"{res.out_head[1]:+.6f}]" if len(res.out_head) >= 2 else "",
+                 f"time:{res.mean_ms:9.4f} ms"]
+        if res.tflops is not None:
+            parts.append(f"{res.tflops:8.2f} TFLOPS")
+        if res.gbps is not None:
+            parts.append(f"{res.gbps:8.1f} GB/s")
+        if res.roofline_frac is not None:
+            parts.append(f"roofline:{100 * res.roofline_frac:5.1f}%")
+        if res.max_diff is not None:
+            parts.append(f"max_diff:{res.max_diff:.2e} mean:{res.mean_diff:.2e}")
+        print(" ".join(p for p in parts if p))
+    return res

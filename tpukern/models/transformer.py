@@ -1,0 +1,206 @@
+"""Flagship model: a llama-style decoder built ON the tpukern kernels.
+
+The reference has no model layer (kernels/transformer/ is an empty
+placeholder directory). This module fills that placeholder the TPU way: a
+causal transformer whose hot path runs the library's Pallas kernels —
+flash_attention (split-Q FA-2), matmul (MXU GEMM ladder), rms_norm, rope —
+each made differentiable via the custom-VJP wrappers in ops/trainable.py.
+
+Parallelism: explicit SPMD via shard_map on a ("dp", "tp") mesh —
+- dp: batch sharded; gradients psum over dp,
+- tp: attention heads + MLP hidden sharded (Megatron-style column/row
+  splits); row-split outputs psum over tp; replicated params' grads psum
+  over both axes.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+import optax
+from jax import lax
+from jax.sharding import Mesh, PartitionSpec as P
+from jax.experimental.shard_map import shard_map
+
+from tpukern.ops.trainable import (
+    flash_attention_trainable,
+    matmul_t,
+    rms_norm_t,
+    rope_t,
+)
+
+
+@dataclasses.dataclass(frozen=True)
+class Config:
+    vocab: int = 2048
+    d_model: int = 256
+    n_layers: int = 2
+    n_heads: int = 8
+    n_kv_heads: int = 4
+    d_ff: int = 1024
+    max_seq: int = 256
+    param_dtype: Any = jnp.float32
+
+    @property
+    def head_dim(self):
+        return self.d_model // self.n_heads
+
+
+def init_params(cfg: Config, key):
+    keys = iter(jax.random.split(key, 4 + 8 * cfg.n_layers))
+    dt = cfg.param_dtype
+
+    def w(shape, scale=0.02):
+        return (jax.random.normal(next(keys), shape) * scale).astype(dt)
+
+    Dh = cfg.head_dim
+    layers = []
+    for _ in range(cfg.n_layers):
+        layers.append(dict(
+            ln1=jnp.ones((cfg.d_model,), dt),
+            wq=w((cfg.d_model, cfg.n_heads * Dh)),
+            wk=w((cfg.d_model, cfg.n_kv_heads * Dh)),
+            wv=w((cfg.d_model, cfg.n_kv_heads * Dh)),
+            wo=w((cfg.n_heads * Dh, cfg.d_model)),
+            ln2=jnp.ones((cfg.d_model,), dt),
+            w1=w((cfg.d_model, cfg.d_ff)),
+            w2=w((cfg.d_ff, cfg.d_model)),
+        ))
+    return dict(
+        embed=w((cfg.vocab, cfg.d_model)),
+        layers=layers,
+        lnf=jnp.ones((cfg.d_model,), dt),
+        head=w((cfg.d_model, cfg.vocab)),
+    )
+
+
+def param_specs(cfg: Config):
+    """PartitionSpecs for the ("dp", "tp") mesh: Megatron column/row splits."""
+    layer = dict(
+        ln1=P(), ln2=P(),
+        wq=P(None, "tp"), wk=P(None, "tp"), wv=P(None, "tp"),
+        wo=P("tp", None),
+        w1=P(None, "tp"), w2=P("tp", None),
+    )
+    return dict(embed=P(), layers=[dict(layer) for _ in range(cfg.n_layers)],
+                lnf=P(), head=P())
+
+
+def _attn_block(h, lp, cfg: Config, tp_size: int, tp_axis):
+    B, S, d = h.shape
+    Dh = cfg.head_dim
+    hq = cfg.n_heads // tp_size
+    hkv = cfg.n_kv_heads // tp_size
+    h2 = h.reshape(B * S, d)
+
+    q = matmul_t(h2, lp["wq"])   # (B*S, hq*Dh) local heads
+    k = matmul_t(h2, lp["wk"])
+    v = matmul_t(h2, lp["wv"])
+
+    def to_heads(x, nh):
+        return (x.reshape(B, S, nh, Dh).transpose(0, 2, 1, 3))
+
+    q = to_heads(q, hq)
+    k = to_heads(k, hkv)
+    v = to_heads(v, hkv)
+
+    # RoPE on q/k: one batched kernel call over flattened rows
+    q = rope_t(q.reshape(B * hq * S, Dh), S).reshape(B, hq, S, Dh)
+    k = rope_t(k.reshape(B * hkv * S, Dh), S).reshape(B, hkv, S, Dh)
+
+    o = flash_attention_trainable(q, k, v, True, None)
+    o = o.transpose(0, 2, 1, 3).reshape(B * S, hq * Dh)
+    o = matmul_t(o, lp["wo"])
+    if tp_axis is not None:
+        o = lax.psum(o, tp_axis)
+    return o.reshape(B, S, d)
+
+
+def _mlp_block(h, lp, tp_axis):
+    B, S, d = h.shape
+    h2 = h.reshape(B * S, d)
+    u = matmul_t(h2, lp["w1"])
+    u = jax.nn.gelu(u)
+    y = matmul_t(u, lp["w2"])
+    if tp_axis is not None:
+        y = lax.psum(y, tp_axis)
+    return y.reshape(B, S, d)
+
+
+def forward(params, tokens, cfg: Config, tp_size: int = 1, tp_axis=None):
+    """tokens (B, S) int32 -> logits (B, S, vocab) f32."""
+    B, S = tokens.shape
+    h = jnp.take(params["embed"], tokens, axis=0)
+    for lp in params["layers"]:
+        hn = rms_norm_t(h.reshape(B * S, -1), lp["ln1"]).reshape(h.shape)
+        h = h + _attn_block(hn, lp, cfg, tp_size, tp_axis)
+        hn = rms_norm_t(h.reshape(B * S, -1), lp["ln2"]).reshape(h.shape)
+        h = h + _mlp_block(hn, lp, tp_axis)
+    hn = rms_norm_t(h.reshape(B * S, -1), params["lnf"])
+    logits = matmul_t(hn, params["head"]).reshape(B, S, cfg.vocab)
+    return logits.astype(jnp.float32)
+
+
+def loss_fn(params, tokens, targets, cfg: Config, tp_size=1, tp_axis=None):
+    logits = forward(params, tokens, cfg, tp_size, tp_axis)
+    logp = jax.nn.log_softmax(logits, axis=-1)
+    nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)
+    return jnp.mean(nll)
+
+
+def make_train_step(cfg: Config, tx):
+    """Single-device train step (params, opt_state, tokens, targets)."""
+
+    def step(params, opt_state, tokens, targets):
+        loss, grads = jax.value_and_grad(loss_fn)(params, tokens, targets, cfg)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return step
+
+
+def make_sharded_train_step(cfg: Config, tx, mesh: Mesh):
+    """SPMD train step over a ("dp", "tp") mesh.
+
+    The forward/backward runs under shard_map (explicit SPMD: Pallas
+    kernels see local shards; tp row-split outputs psum over "tp").
+    Gradient sync: tp-sharded params pmean over dp only (their grads are
+    already local to the tp shard); replicated params pmean over dp AND tp.
+    The optax update stays outside shard_map — it is elementwise, so GSPMD
+    keeps params/opt-state shardings as-is.
+    """
+    tp_size = mesh.shape["tp"]
+    p_specs = param_specs(cfg)
+    flat_specs = jax.tree.leaves(p_specs, is_leaf=lambda x: isinstance(x, P))
+
+    def local_grads(params, tokens, targets):
+        loss, grads = jax.value_and_grad(loss_fn)(
+            params, tokens, targets, cfg, tp_size, "tp")
+        flat_g, treedef = jax.tree.flatten(grads)
+        flat_g = [
+            lax.pmean(g, ("dp",) if "tp" in s else ("dp", "tp"))
+            for g, s in zip(flat_g, flat_specs)
+        ]
+        grads = jax.tree.unflatten(treedef, flat_g)
+        loss = lax.pmean(loss, ("dp", "tp"))
+        return loss, grads
+
+    grad_fn = shard_map(
+        local_grads, mesh=mesh,
+        in_specs=(p_specs, P("dp", None), P("dp", None)),
+        out_specs=(P(), p_specs),
+        check_rep=False)
+
+    @jax.jit
+    def step(params, opt_state, tokens, targets):
+        loss, grads = grad_fn(params, tokens, targets)
+        updates, opt_state = tx.update(grads, opt_state, params)
+        params = optax.apply_updates(params, updates)
+        return params, opt_state, loss
+
+    return step

@@ -1,0 +1,299 @@
+"""FlashAttention-2 forward family: split-Q tiling + fused online softmax.
+
+Reference: the flash-attention-mma library (kernels/flash-attn/, ~29.9k
+LoC). Algorithm families there: split-kv (FA-1), split-q (FA-2,
+flash_attn_mma_split_q.cu:34-120), share-kv / share-qkv (smem-sharing
+tiers), tiling-qk / tiling-qkv (large head dim), x {acc-f16, acc-f32} x
+{smem swizzle} twins. The online-softmax hot loop with
+rescale-then-accumulate is at flash_attn_mma_split_q.cu:374-560.
+
+TPU mapping:
+- split-Q warp partitioning  -> grid over (batch, head, Q blocks); every Q
+  block streams all KV blocks through the innermost ("arbitrary") grid axis
+  with Pallas double-buffering the K/V tile DMAs (the cp.async stages),
+- smem rings + ldmatrix      -> VMEM tiles + MXU dot_general,
+- share-kv / share-qkv tiers -> VMEM-budget tiers = (block_q, block_k)
+  knobs ("stage" variants batch bigger KV tiles per fetch),
+- tiling-qk large-D tier     -> the same kernel holds D up to 1024 directly
+  (f32 accumulator tile (block_q, D) in VMEM scratch),
+- acc-f16 twins              -> acc_dtype=bf16 variants,
+- softmax safety             -> m/l statistics always f32; the m/l update is
+  the rescale-then-update recurrence (reference :532-560),
+- MAX_HEADDIM_CFG            -> MAX_HEADDIM table below.
+
+GQA is supported by mapping each Q head to its KV head in the BlockSpec
+index_map (no KV duplication in HBM).
+"""
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpukern.core import cdiv, to_kernel_dtype, use_interpret
+from tpukern.core.registry import register
+
+NEG_BIG = -0.7 * 3.4e38  # mask value; avoids exp(-inf - -inf) NaN
+
+# variant name -> max supported head dim (the MAX_HEADDIM_CFG analog,
+# flash_attn_mma.py:436-506)
+MAX_HEADDIM = {
+    "mha_splitq_bf16": 1024,
+    "mha_splitq_f32": 512,
+    "mha_splitq_f16": 1024,
+    "mha_splitq_bf16_stage2": 1024,
+    "mha_splitq_bf16_stage4": 512,
+    "mha_splitq_bf16_bigq": 512,
+    "mha_splitq_bf16_accbf16": 1024,
+    "mha_xla_sdpa": 16384,
+    "mha_unfused": 16384,
+}
+
+
+def _fa_kernel(*refs, causal, scale, block_q, block_k, with_stats,
+               has_alibi):
+    if has_alibi:
+        (q_ref, k_ref, v_ref, slopes_ref, o_ref, lse_ref,
+         m_ref, l_ref, acc_ref) = refs
+    else:
+        (q_ref, k_ref, v_ref, o_ref, lse_ref,
+         m_ref, l_ref, acc_ref) = refs
+        slopes_ref = None
+    qi = pl.program_id(2)
+    ki = pl.program_id(3)
+    h = pl.program_id(1)
+
+    @pl.when(ki == 0)
+    def _():
+        m_ref[...] = jnp.full_like(m_ref, NEG_BIG)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    if causal:
+        # Run only if the block intersects the causal lower triangle.
+        should_run = (qi + 1) * block_q - 1 >= ki * block_k
+    else:
+        should_run = True
+
+    @pl.when(should_run)
+    def _():
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        s = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        s = s * scale
+        if causal or has_alibi:
+            rows = (jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+                    + qi * block_q)
+            cols = (jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+                    + ki * block_k)
+        if has_alibi:
+            # ALiBi: s += slope_h * (k_pos - q_pos)  (reference:
+            # kernels/openai-triton/prefix_prefill_alibi.py)
+            s = s + slopes_ref[h] * (cols - rows).astype(jnp.float32)
+        if causal:
+            s = jnp.where(cols <= rows, s, NEG_BIG)
+
+        m_prev = m_ref[:, :1]
+        l_prev = l_ref[:, :1]
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - m_next)
+        l_ref[:, :1] = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+        m_ref[:, :1] = m_next
+        v = v_ref[0, 0]
+        acc_ref[...] = (acc_ref[...] * alpha
+                        + jax.lax.dot_general(
+                            p.astype(v.dtype), v,
+                            dimension_numbers=(((1,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32))
+
+    @pl.when(ki == pl.num_programs(3) - 1)
+    def _():
+        l = l_ref[:, :1]
+        l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
+        o_ref[0, 0] = (acc_ref[...] * l_inv).astype(o_ref.dtype)
+        if with_stats:
+            lse = m_ref[:, :1] + jnp.log(jnp.maximum(l, 1e-37))
+            lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref.shape[2:])
+
+
+def flash_attention(q, k, v, *, causal=False, sm_scale=None,
+                    block_q=128, block_k=128, acc_dtype=jnp.float32,
+                    return_stats=False, alibi_slopes=None, interpret=None):
+    """FA-2 forward. q: (B, Hq, Sq, D); k, v: (B, Hkv, Skv, D), Hkv | Hq.
+
+    alibi_slopes: optional (Hq,) per-head ALiBi slopes (linear position
+    bias, the prefix_prefill_alibi analog). Returns o (B,Hq,Sq,D); with
+    return_stats also lse (B,Hq,Sq) for cross-shard softmax combination
+    (ring attention / context parallelism).
+    """
+    orig_dtype = q.dtype
+    q, k, v = (to_kernel_dtype(t) for t in (q, k, v))
+    B, Hq, Sq, D = q.shape
+    _, Hkv, Skv, _ = k.shape
+    assert Hq % Hkv == 0
+    group = Hq // Hkv
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(D)
+    bq = min(block_q, Sq)
+    bk = min(block_k, Skv)
+    grid = (B, Hq, cdiv(Sq, bq), cdiv(Skv, bk))
+
+    has_alibi = alibi_slopes is not None
+    kernel = functools.partial(
+        _fa_kernel, causal=causal, scale=sm_scale,
+        block_q=bq, block_k=bk, with_stats=return_stats,
+        has_alibi=has_alibi)
+
+    out_shapes = [jax.ShapeDtypeStruct((B, Hq, Sq, D), q.dtype),
+                  jax.ShapeDtypeStruct((B, Hq, Sq, 128), jnp.float32)]
+    out_specs = [
+        pl.BlockSpec((1, 1, bq, D), lambda b, h, i, j: (b, h, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, bq, 128), lambda b, h, i, j: (b, h, i, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+
+    in_specs = [
+        pl.BlockSpec((1, 1, bq, D),
+                     lambda b, h, i, j: (b, h, i, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, bk, D),
+                     lambda b, h, i, j, _g=group: (b, h // _g, j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, bk, D),
+                     lambda b, h, i, j, _g=group: (b, h // _g, j, 0),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [q, k, v]
+    if has_alibi:
+        in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
+        args.append(jnp.asarray(alibi_slopes, jnp.float32))
+
+    o, lse = pl.pallas_call(
+        kernel,
+        out_shape=tuple(out_shapes),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=tuple(out_specs),
+        scratch_shapes=[
+            pltpu.VMEM((bq, 128), jnp.float32),   # m
+            pltpu.VMEM((bq, 128), jnp.float32),   # l
+            pltpu.VMEM((bq, D), acc_dtype),       # output accumulator
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=int(4 * B * Hq * Sq * Skv * D * (0.5 if causal else 1.0)),
+            bytes_accessed=int((q.size + k.size + v.size) * q.dtype.itemsize
+                               + q.size * q.dtype.itemsize),
+            transcendentals=int(B * Hq * Sq * Skv),
+        ),
+        interpret=use_interpret() if interpret is None else interpret,
+    )(*args)
+    o = o.astype(orig_dtype)
+    if return_stats:
+        return o, lse[..., 0]
+    return o
+
+
+def attention_ref(q, k, v, *, causal=False, sm_scale=None,
+                  alibi_slopes=None):
+    """Unfused XLA reference (the reference harness's `unfused attention`,
+    flash_attn_mma.py:384), with GQA broadcast."""
+    B, Hq, Sq, D = q.shape
+    _, Hkv, Skv, _ = k.shape
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(D)
+    if Hkv != Hq:
+        k = jnp.repeat(k, Hq // Hkv, axis=1)
+        v = jnp.repeat(v, Hq // Hkv, axis=1)
+    s = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32),
+                   k.astype(jnp.float32)) * sm_scale
+    if alibi_slopes is not None:
+        rel = (jnp.arange(Skv)[None, :] - jnp.arange(Sq)[:, None]
+               ).astype(jnp.float32)
+        s = s + jnp.asarray(alibi_slopes, jnp.float32)[None, :, None, None] * rel
+    if causal:
+        mask = jnp.tril(jnp.ones((Sq, Skv), bool))
+        s = jnp.where(mask, s, -jnp.inf)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", p,
+                      v.astype(jnp.float32)).astype(q.dtype)
+
+
+def sdpa_xla(q, k, v, *, causal=False, sm_scale=None):
+    """XLA fused SDPA baseline (the torch-SDPA role, flash_attn_mma.py:391)."""
+    B, Hq, Sq, D = q.shape
+    _, Hkv, _, _ = k.shape
+    if Hkv != Hq:
+        k = jnp.repeat(k, Hq // Hkv, axis=1)
+        v = jnp.repeat(v, Hq // Hkv, axis=1)
+    # jax.nn.dot_product_attention expects (B, S, H, D)
+    o = jax.nn.dot_product_attention(
+        q.swapaxes(1, 2), k.swapaxes(1, 2), v.swapaxes(1, 2),
+        scale=sm_scale, is_causal=causal)
+    return o.swapaxes(1, 2)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
+def flash_attention_trainable(q, k, v, causal=False, sm_scale=None):
+    """Differentiable wrapper: Pallas FA-2 forward, recompute backward via
+    the XLA reference's VJP (flash backward kernels are a planned tier; the
+    reference library itself is forward-only)."""
+    return flash_attention(q, k, v, causal=causal, sm_scale=sm_scale)
+
+
+def _fat_fwd(q, k, v, causal, sm_scale):
+    o = flash_attention(q, k, v, causal=causal, sm_scale=sm_scale)
+    return o, (q, k, v)
+
+
+def _fat_bwd(causal, sm_scale, res, g):
+    q, k, v = res
+    _, vjp = jax.vjp(
+        lambda q_, k_, v_: attention_ref(q_, k_, v_, causal=causal,
+                                         sm_scale=sm_scale), q, k, v)
+    return vjp(g)
+
+
+flash_attention_trainable.defvjp(_fat_fwd, _fat_bwd)
+
+
+_VARIANTS = [
+    ("mha_splitq_bf16", jnp.bfloat16, dict()),
+    ("mha_splitq_f32", jnp.float32, dict()),
+    ("mha_splitq_f16", jnp.float16, dict()),
+    ("mha_splitq_bf16_stage2", jnp.bfloat16, dict(block_k=256)),
+    ("mha_splitq_bf16_stage4", jnp.bfloat16, dict(block_k=512)),
+    ("mha_splitq_bf16_bigq", jnp.bfloat16, dict(block_q=256)),
+    ("mha_splitq_bf16_accbf16", jnp.bfloat16, dict(acc_dtype=jnp.bfloat16)),
+]
+
+
+def _fa_flops(q, k, v, **kw):
+    B, H, Sq, D = q.shape
+    Skv = k.shape[2]
+    f = 4 * B * H * Sq * Skv * D
+    return f // 2 if kw.get("causal") else f
+
+
+for _name, _dt, _kw in _VARIANTS:
+    def _fn(q, k, v, _dt=_dt, _kw=_kw, **kw):
+        return flash_attention(q.astype(_dt), k.astype(_dt), v.astype(_dt),
+                               **{**_kw, **kw})
+    register("attention", _name, ref=attention_ref, flops=_fa_flops)(_fn)
+
+register("attention", "mha_xla_sdpa", ref=attention_ref, flops=_fa_flops,
+         tags=("baseline",))(
+    lambda q, k, v, **kw: sdpa_xla(q, k, v, **kw))
+register("attention", "mha_unfused", ref=attention_ref, flops=_fa_flops,
+         tags=("baseline",))(
+    lambda q, k, v, **kw: attention_ref(q, k, v, **kw))

@@ -1,0 +1,265 @@
+"""The GEMM ladder: naive -> K-sliced -> pipelined -> grid-swizzled MXU tiles.
+
+Reference: the toy-hgemm library (kernels/hgemm/, ~13.3k LoC) and
+kernels/sgemm/sgemm.cu. Its optimization ladder is:
+naive -> sliced-K -> thread-tile vectorized -> bank-conflict-free smem ->
+double-buffered cp.async multi-stage rings (hgemm_mma_stage.cu:140-210) ->
+ldmatrix/HMMA16816 MMA -> block swizzle for L2 locality (:1940-1965) ->
+XOR smem swizzle (mma/swizzle/).
+
+TPU mapping (see SURVEY.md §2.4):
+- tensor-core MMA tiles        -> MXU via jnp.dot/dot_general on (bm,bk)x(bk,bn)
+  VMEM tiles with f32 accumulation (preferred_element_type),
+- cp.async multi-stage ring    -> Pallas's implicit double-buffered grid
+  pipeline over the K ("arbitrary") grid axis; the `stages` knob maps to the
+  K block size (HBM transfer granularity),
+- smem padding / XOR swizzle   -> unnecessary (no banked smem); Mosaic picks
+  VMEM layouts,
+- block swizzle (L2 locality)  -> grid band traversal via BlockSpec
+  index_map remapping ("swizzled" variants): a B column band is kept
+  stationary across many A row blocks, which lets Pallas's revisiting
+  optimization skip HBM re-fetches,
+- cuBLAS baseline              -> jnp.dot (XLA) `*_xla` variants.
+
+sgemm = f32, hgemm = bf16 (TPU-native half type; a true-f16 variant is kept
+for reference parity), qgemm = int8 -> int32.
+"""
+
+import functools
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpukern.core import (cdiv, kernel_dtype, round_up,
+                          to_kernel_dtype, use_interpret)
+from tpukern.core.registry import register
+
+
+def _pad_k(a, b, bk, trans_b):
+    K = a.shape[1]
+    Kp = round_up(K, bk)
+    if Kp != K:
+        a = jnp.pad(a, ((0, 0), (0, Kp - K)))
+        b = jnp.pad(b, ((0, 0), (0, Kp - K))) if trans_b \
+            else jnp.pad(b, ((0, Kp - K), (0, 0)))
+    return a, b
+
+
+def matmul(a, b, *, block_m=512, block_n=1024, block_k=512,
+           acc_dtype=jnp.float32, out_dtype=None, trans_b=False,
+           swizzle=0, interpret=None):
+    """C[M,N] = A[M,K] @ B[K,N] (or B[N,K] if trans_b) on the MXU.
+
+    3-D grid (M, N, K blocks), K innermost with "arbitrary" semantics so
+    Pallas double-buffers the A/B tile streams (the cp.async-stage analog);
+    f32 (or i32) accumulator lives in VMEM scratch across K steps.
+    swizzle > 0 enables band traversal: a band of `swizzle` B-column blocks
+    is processed for all M row blocks before moving on (the block-swizzle
+    analog of hgemm_mma_stage.cu:1940-1965). f16 is storage-only on TPU:
+    upcast at the XLA boundary, computed in f32, cast back.
+    """
+    if out_dtype is None:
+        out_dtype = a.dtype
+    k_out = kernel_dtype(out_dtype)
+    a, b = to_kernel_dtype(a), to_kernel_dtype(b)
+    M, K = a.shape
+    N = b.shape[0] if trans_b else b.shape[1]
+    bm, bn, bk = min(block_m, M), min(block_n, N), min(block_k, K)
+    a, b = _pad_k(a, b, bk, trans_b)
+    nI, nJ, nK = cdiv(M, bm), cdiv(N, bn), cdiv(a.shape[1], bk)
+
+    if trans_b:
+        dn = (((1,), (1,)), ((), ()))
+        b_block = lambda bn_, bk_: (bn_, bk_)
+        b_idx = lambda k, j: (j, k)
+    else:
+        dn = (((1,), (0,)), ((), ()))
+        b_block = lambda bn_, bk_: (bk_, bn_)
+        b_idx = lambda k, j: (k, j)
+
+    def kernel(a_ref, b_ref, o_ref, acc_ref, *, k_axis):
+        @pl.when(pl.program_id(k_axis) == 0)
+        def _():
+            acc_ref[...] = jnp.zeros_like(acc_ref)
+
+        acc_ref[...] += jax.lax.dot_general(
+            a_ref[...], b_ref[...], dimension_numbers=dn,
+            preferred_element_type=acc_dtype)
+
+        @pl.when(pl.program_id(k_axis) == pl.num_programs(k_axis) - 1)
+        def _():
+            o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+
+    cost = pl.CostEstimate(
+        flops=int(2 * M * N * K),
+        bytes_accessed=int((M * K + K * N) * a.dtype.itemsize
+                           + M * N * jnp.dtype(out_dtype).itemsize),
+        transcendentals=0,
+    )
+
+    if swizzle and nJ > swizzle:
+        # largest divisor of nJ <= requested band width
+        s = max(d for d in range(1, swizzle + 1) if nJ % d == 0)
+        grid = (nJ // s, nI, s, nK)
+        in_specs = [
+            pl.BlockSpec((bm, bk), lambda band, i, js, k: (i, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(b_block(bn, bk),
+                         lambda band, i, js, k, _s=s: b_idx(k, band * _s + js),
+                         memory_space=pltpu.VMEM),
+        ]
+        out_spec = pl.BlockSpec((bm, bn),
+                                lambda band, i, js, k, _s=s: (i, band * _s + js),
+                                memory_space=pltpu.VMEM)
+        semantics = ("arbitrary", "arbitrary", "arbitrary", "arbitrary")
+        k_axis = 3
+    else:
+        grid = (nI, nJ, nK)
+        in_specs = [
+            pl.BlockSpec((bm, bk), lambda i, j, k: (i, k),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(b_block(bn, bk), lambda i, j, k: b_idx(k, j),
+                         memory_space=pltpu.VMEM),
+        ]
+        out_spec = pl.BlockSpec((bm, bn), lambda i, j, k: (i, j),
+                                memory_space=pltpu.VMEM)
+        semantics = ("parallel", "parallel", "arbitrary")
+        k_axis = 2
+
+    out = pl.pallas_call(
+        functools.partial(kernel, k_axis=k_axis),
+        out_shape=jax.ShapeDtypeStruct((M, N), k_out),
+        grid=grid,
+        in_specs=in_specs,
+        out_specs=out_spec,
+        scratch_shapes=[pltpu.VMEM((bm, bn), acc_dtype)],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=semantics),
+        cost_estimate=cost,
+        interpret=use_interpret() if interpret is None else interpret,
+    )(a, b)
+    return out.astype(out_dtype)
+
+
+def matmul_naive(a, b, *, block_m=256, block_n=256, out_dtype=None,
+                 interpret=None):
+    """Whole-K-resident naive tier (hgemm_naive_f16, hgemm.cu:23): one dot
+    per output block, no K pipeline."""
+    if out_dtype is None:
+        out_dtype = a.dtype
+    k_out = kernel_dtype(out_dtype)
+    a, b = to_kernel_dtype(a), to_kernel_dtype(b)
+    M, K = a.shape
+    N = b.shape[1]
+    bm, bn = min(block_m, M), min(block_n, N)
+
+    def kernel(a_ref, b_ref, o_ref):
+        o_ref[...] = jnp.dot(a_ref[...], b_ref[...],
+                             preferred_element_type=jnp.float32
+                             ).astype(o_ref.dtype)
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((M, N), k_out),
+        grid=(cdiv(M, bm), cdiv(N, bn)),
+        in_specs=[
+            pl.BlockSpec((bm, K), lambda i, j: (i, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((K, bn), lambda i, j: (0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+        interpret=use_interpret() if interpret is None else interpret,
+    )(a, b)
+    return out.astype(out_dtype)
+
+
+def hgemm(a, b, **kw):
+    """Flagship BF16 GEMM (toy-hgemm's hgemm_mma_...stages_dsmem role)."""
+    kw.setdefault("block_m", 512)
+    kw.setdefault("block_n", 1024)
+    kw.setdefault("block_k", 512)
+    return matmul(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16), **kw)
+
+
+def _mm_ref(a, b):
+    return jnp.dot(a, b, preferred_element_type=jnp.float32).astype(a.dtype)
+
+
+def _mm_tn_ref(a, b):
+    return jax.lax.dot_general(
+        a, b, dimension_numbers=(((1,), (1,)), ((), ())),
+        preferred_element_type=jnp.float32).astype(a.dtype)
+
+
+def _flops(a, b, **_):
+    M, K = a.shape
+    N = b.shape[0] if b.shape[1] == K and b.shape[0] != K else b.shape[1]
+    return 2 * M * N * K
+
+
+_VARIANTS = [
+    # sgemm ladder (f32; reference kernels/sgemm/sgemm.cu)
+    ("sgemm_naive_f32", matmul_naive, jnp.float32, {}),
+    ("sgemm_ksliced_f32", matmul, jnp.float32,
+     dict(block_m=256, block_n=256, block_k=256)),
+    ("sgemm_pipelined_f32", matmul, jnp.float32,
+     dict(block_m=256, block_n=512, block_k=512)),
+    ("sgemm_swizzled_f32", matmul, jnp.float32,
+     dict(block_m=256, block_n=512, block_k=512, swizzle=4)),
+    # hgemm ladder (bf16; reference kernels/hgemm/)
+    ("hgemm_naive_bf16", matmul_naive, jnp.bfloat16, {}),
+    ("hgemm_ksliced_bf16", matmul, jnp.bfloat16,
+     dict(block_m=256, block_n=256, block_k=256)),
+    ("hgemm_stage_bk256_bf16", matmul, jnp.bfloat16,
+     dict(block_m=512, block_n=1024, block_k=256)),
+    ("hgemm_stage_bk512_bf16", matmul, jnp.bfloat16,
+     dict(block_m=512, block_n=1024, block_k=512)),
+    ("hgemm_stage_bk1024_bf16", matmul, jnp.bfloat16,
+     dict(block_m=512, block_n=1024, block_k=1024)),
+    ("hgemm_swizzled_bf16", matmul, jnp.bfloat16,
+     dict(block_m=512, block_n=512, block_k=512, swizzle=4)),
+    ("hgemm_accbf16_bf16", matmul, jnp.bfloat16,
+     dict(block_m=512, block_n=1024, block_k=512, acc_dtype=jnp.bfloat16)),
+    ("hgemm_f16", matmul, jnp.float16,
+     dict(block_m=512, block_n=1024, block_k=512)),
+]
+
+for _name, _impl, _dt, _kw in _VARIANTS:
+    def _fn(a, b, _impl=_impl, _dt=_dt, _kw=_kw, **kw):
+        return _impl(a.astype(_dt), b.astype(_dt), **{**_kw, **kw})
+    register("matmul", _name, ref=_mm_ref, flops=_flops)(_fn)
+
+
+def _tn_fn(a, b, **kw):
+    cfg = dict(block_m=512, block_n=1024, block_k=512, trans_b=True)
+    return matmul(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+                  **{**cfg, **kw})
+
+register("matmul", "hgemm_tn_bf16", ref=_mm_tn_ref, flops=_flops)(_tn_fn)
+
+
+def _qgemm(a, b, **kw):
+    cfg = dict(block_m=512, block_n=512, block_k=512,
+               acc_dtype=jnp.int32, out_dtype=jnp.int32)
+    return matmul(a.astype(jnp.int8), b.astype(jnp.int8), **{**cfg, **kw})
+
+register("matmul", "qgemm_i8_i32",
+         ref=lambda a, b: jnp.dot(a.astype(jnp.int32), b.astype(jnp.int32)),
+         flops=_flops)(_qgemm)
+
+# XLA baselines (the cuBLAS role, kernels/hgemm/cublas/hgemm_cublas.cu)
+register("matmul", "sgemm_xla_f32", ref=_mm_ref, flops=_flops,
+         tags=("baseline",))(
+    lambda a, b, **kw: jnp.dot(a.astype(jnp.float32), b.astype(jnp.float32),
+                               preferred_element_type=jnp.float32))
+register("matmul", "hgemm_xla_bf16", ref=_mm_ref, flops=_flops,
+         tags=("baseline",))(
+    lambda a, b, **kw: jnp.dot(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16),
+                               preferred_element_type=jnp.float32
+                               ).astype(jnp.bfloat16))

@@ -1,0 +1,188 @@
+"""Paged-KV decode attention: single-token queries against a paged KV cache.
+
+Reference: kernels/openai-triton/ — Triton FA-2 forward with paged KV-cache
+(flash_attn_v2_fwd.py:12) and prefix-prefill context attention ± ALiBi
+(prefix_prefill.py:12,245, adapted from LightLLM/vLLM). The reference keeps
+these as Triton-DSL kernels; the TPU-native counterpart is a Pallas kernel
+using scalar-prefetched page tables and async page DMA (the serving-path
+pattern of jax.experimental.pallas.ops.tpu.paged_attention, re-implemented
+here from the algorithm up).
+
+Design:
+- KV lives in HBM as (num_pages, page_size, D) pools per head; a
+  (batch, pages_per_seq) page table maps logical to physical pages.
+- Grid: (batch, kv_heads, seq blocks). Page indices arrive via
+  PrefetchScalarGridSpec so the kernel can DMA exactly the pages of the
+  current block; per-page copies run concurrently and double-buffer
+  against compute (pallas_guide.md "Async DMA").
+- Online softmax across blocks (same recurrence as ops/attention.py), with
+  GQA: all q heads of a kv head processed together -> the MXU sees a
+  (group, bk) matmul instead of (1, bk) vectors.
+"""
+
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+from tpukern.core import cdiv, use_interpret
+from tpukern.core.registry import register
+
+NEG_BIG = -0.7 * 3.4e38
+
+
+def _decode_kernel(lengths_ref, tables_ref, q_ref, k_hbm, v_hbm,
+                   o_ref, k_buf, v_buf, m_s, l_s, acc_s, sems,
+                   *, page_size, pages_per_block, mask_value):
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    blk = pl.program_id(2)
+    n_blk = pl.num_programs(2)
+    bk = page_size * pages_per_block
+    length = lengths_ref[b]
+    group, D = q_ref.shape[2], q_ref.shape[3]
+    pages_per_seq = n_blk * pages_per_block
+
+    @pl.when(blk == 0)
+    def _():
+        m_s[...] = jnp.full_like(m_s, NEG_BIG)
+        l_s[...] = jnp.zeros_like(l_s)
+        acc_s[...] = jnp.zeros_like(acc_s)
+
+    @pl.when(blk * bk < length)
+    def _():
+        # fetch this block's pages (all DMAs in flight together)
+        copies = []
+        for p in range(pages_per_block):
+            page = tables_ref[b * pages_per_seq + blk * pages_per_block + p]
+            copies.append(pltpu.make_async_copy(
+                k_hbm.at[h, page], k_buf.at[p], sems.at[0, p]))
+            copies.append(pltpu.make_async_copy(
+                v_hbm.at[h, page], v_buf.at[p], sems.at[1, p]))
+        for c in copies:
+            c.start()
+        for c in copies:
+            c.wait()
+
+        q = q_ref[0, 0]                                   # (group, D)
+        k = k_buf[...].reshape(bk, D)
+        s = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)           # (group, bk)
+        s *= 1.0 / math.sqrt(D)
+        pos = blk * bk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        s = jnp.where(pos < length, s, mask_value)
+
+        m_prev = m_s[:, :1]
+        l_prev = l_s[:, :1]
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - m_next)
+        l_s[:, :1] = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+        m_s[:, :1] = m_next
+        v = v_buf[...].reshape(bk, D)
+        acc_s[...] = (acc_s[...] * alpha
+                      + jax.lax.dot_general(
+                          p.astype(v.dtype), v,
+                          dimension_numbers=(((1,), (0,)), ((), ())),
+                          preferred_element_type=jnp.float32))
+
+    @pl.when(blk == n_blk - 1)
+    def _():
+        l = l_s[:, :1]
+        l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
+        o_ref[0, 0] = (acc_s[...] * l_inv).astype(o_ref.dtype)
+
+
+def paged_attention(q, k_pages, v_pages, lengths, page_table,
+                    *, pages_per_block=4, interpret=None):
+    """Decode attention against a paged KV cache.
+
+    q:          (B, Hq, D)           current-token queries
+    k_pages:    (Hkv, P, page, D)    paged K pool
+    v_pages:    (Hkv, P, page, D)    paged V pool
+    lengths:    (B,) int32           live tokens per sequence
+    page_table: (B, pages_per_seq)   physical page id per logical page
+    Returns (B, Hq, D).
+    """
+    B, Hq, D = q.shape
+    Hkv, P, page_size, _ = k_pages.shape
+    pages_per_seq = page_table.shape[1]
+    assert Hq % Hkv == 0
+    group = Hq // Hkv
+    assert pages_per_seq % pages_per_block == 0
+    n_blk = pages_per_seq // pages_per_block
+    bk = page_size * pages_per_block
+
+    # (B, Hkv, group, D) so one grid cell covers a whole GQA group
+    q4 = q.reshape(B, Hkv, group, D)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,          # lengths, flat page table
+        grid=(B, Hkv, n_blk),
+        in_specs=[
+            pl.BlockSpec((1, 1, group, D), lambda b, h, i, *_: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pltpu.ANY),   # K pages stay in HBM
+            pl.BlockSpec(memory_space=pltpu.ANY),   # V pages stay in HBM
+        ],
+        out_specs=pl.BlockSpec((1, 1, group, D), lambda b, h, i, *_: (b, h, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((pages_per_block, page_size, D), k_pages.dtype),
+            pltpu.VMEM((pages_per_block, page_size, D), v_pages.dtype),
+            pltpu.VMEM((group, 128), jnp.float32),
+            pltpu.VMEM((group, 128), jnp.float32),
+            pltpu.VMEM((group, D), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, pages_per_block)),
+        ],
+    )
+
+    kernel = functools.partial(
+        _decode_kernel, page_size=page_size,
+        pages_per_block=pages_per_block, mask_value=NEG_BIG)
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, Hkv, group, D), q.dtype),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary")),
+        interpret=use_interpret() if interpret is None else interpret,
+    )(lengths.astype(jnp.int32), page_table.reshape(-1).astype(jnp.int32),
+      q4, k_pages, v_pages)
+    return out.reshape(B, Hq, D)
+
+
+def paged_attention_ref(q, k_pages, v_pages, lengths, page_table):
+    """XLA gather reference."""
+    B, Hq, D = q.shape
+    Hkv, P, page_size, _ = k_pages.shape
+    group = Hq // Hkv
+    pages_per_seq = page_table.shape[1]
+    S = pages_per_seq * page_size
+    # materialize per-sequence K/V: (B, Hkv, S, D)
+    k_seq = k_pages[:, page_table].transpose(1, 0, 2, 3, 4).reshape(
+        B, Hkv, S, D)
+    v_seq = v_pages[:, page_table].transpose(1, 0, 2, 3, 4).reshape(
+        B, Hkv, S, D)
+    qf = q.reshape(B, Hkv, group, D).astype(jnp.float32)
+    s = jnp.einsum("bhgd,bhkd->bhgk", qf, k_seq.astype(jnp.float32))
+    s *= 1.0 / math.sqrt(D)
+    pos = jnp.arange(S)[None, None, None, :]
+    s = jnp.where(pos < lengths[:, None, None, None], s, -jnp.inf)
+    p = jax.nn.softmax(s, axis=-1)
+    o = jnp.einsum("bhgk,bhkd->bhgd", p, v_seq.astype(jnp.float32))
+    return o.reshape(B, Hq, D).astype(q.dtype)
+
+
+register("paged_attention", "paged_decode_f32", ref=paged_attention_ref)(
+    lambda *a, **kw: paged_attention(*a, **kw))
+register("paged_attention", "paged_decode_bf16", ref=paged_attention_ref)(
+    lambda q, k, v, l, t, **kw: paged_attention(
+        q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+        v.astype(jnp.bfloat16), l, t, **kw))
