@@ -19,7 +19,7 @@ import jax.numpy as jnp
 
 def _time(fn, *args):
     from tpukern.harness.bench import device_time
-    return device_time(fn, *args, iters_lo=4, iters_hi=16)
+    return device_time(fn, *args, iters_lo=8, iters_hi=40)
 
 
 def main():

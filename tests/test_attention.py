@@ -33,6 +33,8 @@ def test_attention_variants(name, causal, rng):
     out = v.fn(q, k, vv, causal=causal)
     ref = attn.attention_ref(q, k, vv, causal=causal)
     t = _TOL[jnp.dtype(out.dtype).name]
+    if "accbf16" in name:   # low-precision accumulator tier (acc-f16 twin)
+        t = dict(rtol=1e-1, atol=1e-1)
     np.testing.assert_allclose(np.asarray(out, np.float64),
                                np.asarray(ref, np.float64),
                                err_msg=name, **t)
@@ -96,5 +98,20 @@ def test_alibi(rng):
     slopes = jnp.asarray([2.0 ** (-i) for i in range(1, 5)], jnp.float32)
     out = attn.flash_attention(q, k, v, causal=True, alibi_slopes=slopes)
     ref = attn.attention_ref(q, k, v, causal=True, alibi_slopes=slopes)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_prefill_with_cache(rng):
+    """Chunked prefill: queries attend to a KV-cache prefix + themselves."""
+    B, H, D = 1, 2, 64
+    S_cache, S_new = 256, 128
+    kc = jnp.asarray(rng.standard_normal((B, H, S_cache, D)), jnp.float32)
+    vc = jnp.asarray(rng.standard_normal((B, H, S_cache, D)), jnp.float32)
+    q, kn, vn = _qkv(rng, B, H, S_new, D, jnp.float32)
+    out = attn.prefill_attention(q, kc, vc, kn, vn)
+    k_all = jnp.concatenate([kc, kn], axis=2)
+    v_all = jnp.concatenate([vc, vn], axis=2)
+    ref = attn.attention_ref_offset(q, k_all, v_all, causal_offset=S_cache)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-4, atol=1e-4)

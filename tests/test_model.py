@@ -46,7 +46,8 @@ def test_train_step_reduces_loss(setup):
 
 def test_sharded_train_step(setup):
     params, tokens, targets = setup
-    devs = np.array(jax.devices()).reshape(2, 4)
+    # tp must divide n_kv_heads (=2): use a (4 dp, 2 tp) mesh
+    devs = np.array(jax.devices()).reshape(4, 2)
     mesh = Mesh(devs, axis_names=("dp", "tp"))
     specs = param_specs(CFG)
     params = jax.tree.map(
@@ -54,9 +55,9 @@ def test_sharded_train_step(setup):
         params, specs, is_leaf=lambda x: isinstance(x, jnp.ndarray))
     tx = optax.adamw(1e-3)
     opt_state = jax.jit(tx.init)(params)
-    tokens = jax.device_put(jnp.concatenate([tokens, tokens]),
+    tokens = jax.device_put(jnp.concatenate([tokens] * 2),
                             NamedSharding(mesh, P("dp", None)))
-    targets = jax.device_put(jnp.concatenate([targets, targets]),
+    targets = jax.device_put(jnp.concatenate([targets] * 2),
                              NamedSharding(mesh, P("dp", None)))
     step = make_sharded_train_step(CFG, tx, mesh)
     params2, opt_state, loss = step(params, opt_state, tokens, targets)

@@ -24,7 +24,7 @@ import jax.numpy as jnp
 import optax
 from jax import lax
 from jax.sharding import Mesh, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from tpukern.ops.trainable import (
     flash_attention_trainable,
@@ -194,7 +194,7 @@ def make_sharded_train_step(cfg: Config, tx, mesh: Mesh):
         local_grads, mesh=mesh,
         in_specs=(p_specs, P("dp", None), P("dp", None)),
         out_specs=(P(), p_specs),
-        check_rep=False)
+        check_vma=False)
 
     @jax.jit
     def step(params, opt_state, tokens, targets):

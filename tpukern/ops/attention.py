@@ -54,7 +54,7 @@ MAX_HEADDIM = {
 
 
 def _fa_kernel(*refs, causal, scale, block_q, block_k, with_stats,
-               has_alibi):
+               has_alibi, causal_offset=0):
     if has_alibi:
         (q_ref, k_ref, v_ref, slopes_ref, o_ref, lse_ref,
          m_ref, l_ref, acc_ref) = refs
@@ -73,8 +73,9 @@ def _fa_kernel(*refs, causal, scale, block_q, block_k, with_stats,
         acc_ref[...] = jnp.zeros_like(acc_ref)
 
     if causal:
-        # Run only if the block intersects the causal lower triangle.
-        should_run = (qi + 1) * block_q - 1 >= ki * block_k
+        # Run only if the block intersects the causal lower triangle
+        # (shifted by causal_offset for prefill-with-cache).
+        should_run = (qi + 1) * block_q - 1 + causal_offset >= ki * block_k
     else:
         should_run = True
 
@@ -96,7 +97,7 @@ def _fa_kernel(*refs, causal, scale, block_q, block_k, with_stats,
             # kernels/openai-triton/prefix_prefill_alibi.py)
             s = s + slopes_ref[h] * (cols - rows).astype(jnp.float32)
         if causal:
-            s = jnp.where(cols <= rows, s, NEG_BIG)
+            s = jnp.where(cols <= rows + causal_offset, s, NEG_BIG)
 
         m_prev = m_ref[:, :1]
         l_prev = l_ref[:, :1]
@@ -107,17 +108,21 @@ def _fa_kernel(*refs, causal, scale, block_q, block_k, with_stats,
         l_ref[:, :1] = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
         m_ref[:, :1] = m_next
         v = v_ref[0, 0]
-        acc_ref[...] = (acc_ref[...] * alpha
-                        + jax.lax.dot_general(
-                            p.astype(v.dtype), v,
-                            dimension_numbers=(((1,), (0,)), ((), ())),
-                            preferred_element_type=jnp.float32))
+        pv = jax.lax.dot_general(
+            p.astype(v.dtype), v,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32)
+        # round through the accumulator dtype (the acc-f16-twin semantics);
+        # mixed-dtype stores are rejected by Pallas
+        acc_ref[...] = (acc_ref[...].astype(jnp.float32) * alpha + pv
+                        ).astype(acc_ref.dtype)
 
     @pl.when(ki == pl.num_programs(3) - 1)
     def _():
         l = l_ref[:, :1]
         l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
-        o_ref[0, 0] = (acc_ref[...] * l_inv).astype(o_ref.dtype)
+        o_ref[0, 0] = (acc_ref[...].astype(jnp.float32) * l_inv
+                       ).astype(o_ref.dtype)
         if with_stats:
             lse = m_ref[:, :1] + jnp.log(jnp.maximum(l, 1e-37))
             lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref.shape[2:])
@@ -125,13 +130,17 @@ def _fa_kernel(*refs, causal, scale, block_q, block_k, with_stats,
 
 def flash_attention(q, k, v, *, causal=False, sm_scale=None,
                     block_q=128, block_k=128, acc_dtype=jnp.float32,
-                    return_stats=False, alibi_slopes=None, interpret=None):
+                    return_stats=False, alibi_slopes=None,
+                    causal_offset=0, interpret=None):
     """FA-2 forward. q: (B, Hq, Sq, D); k, v: (B, Hkv, Skv, D), Hkv | Hq.
 
     alibi_slopes: optional (Hq,) per-head ALiBi slopes (linear position
-    bias, the prefix_prefill_alibi analog). Returns o (B,Hq,Sq,D); with
-    return_stats also lse (B,Hq,Sq) for cross-shard softmax combination
-    (ring attention / context parallelism).
+    bias, the prefix_prefill_alibi analog). causal_offset shifts the causal
+    diagonal right: with Skv = prefix + Sq and causal_offset = Skv - Sq,
+    this is chunked-prefill "context attention" over a KV-cache prefix (the
+    kernels/openai-triton/prefix_prefill.py analog). Returns o (B,Hq,Sq,D);
+    with return_stats also lse (B,Hq,Sq) for cross-shard softmax
+    combination (ring attention / context parallelism).
     """
     orig_dtype = q.dtype
     q, k, v = (to_kernel_dtype(t) for t in (q, k, v))
@@ -149,7 +158,7 @@ def flash_attention(q, k, v, *, causal=False, sm_scale=None,
     kernel = functools.partial(
         _fa_kernel, causal=causal, scale=sm_scale,
         block_q=bq, block_k=bk, with_stats=return_stats,
-        has_alibi=has_alibi)
+        has_alibi=has_alibi, causal_offset=causal_offset)
 
     out_shapes = [jax.ShapeDtypeStruct((B, Hq, Sq, D), q.dtype),
                   jax.ShapeDtypeStruct((B, Hq, Sq, 128), jnp.float32)]
@@ -224,6 +233,31 @@ def attention_ref(q, k, v, *, causal=False, sm_scale=None,
     if causal:
         mask = jnp.tril(jnp.ones((Sq, Skv), bool))
         s = jnp.where(mask, s, -jnp.inf)
+    p = jax.nn.softmax(s, axis=-1)
+    return jnp.einsum("bhqk,bhkd->bhqd", p,
+                      v.astype(jnp.float32)).astype(q.dtype)
+
+
+def prefill_attention(q, k_cache, v_cache, k_new, v_new, **kw):
+    """Chunked-prefill context attention: new-token queries q attend
+    causally to cache + new K/V (prefix_prefill.py analog)."""
+    k = jnp.concatenate([k_cache, k_new], axis=2)
+    v = jnp.concatenate([v_cache, v_new], axis=2)
+    offset = k.shape[2] - q.shape[2]
+    return flash_attention(q, k, v, causal=True, causal_offset=offset, **kw)
+
+
+def attention_ref_offset(q, k, v, *, causal_offset=0, sm_scale=None):
+    """Reference for offset-causal (prefill) attention."""
+    B, Hq, Sq, D = q.shape
+    Skv = k.shape[2]
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(D)
+    s = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32),
+                   k.astype(jnp.float32)) * sm_scale
+    mask = (jnp.arange(Skv)[None, :]
+            <= jnp.arange(Sq)[:, None] + causal_offset)
+    s = jnp.where(mask, s, -jnp.inf)
     p = jax.nn.softmax(s, axis=-1)
     return jnp.einsum("bhqk,bhkd->bhqd", p,
                       v.astype(jnp.float32)).astype(q.dtype)

@@ -75,7 +75,7 @@ def embedding_dma(idx, weight, block_tokens=8, interpret=None):
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
         grid=(S // block_tokens,),
-        in_specs=[pl.BlockSpec(memory_space=pltpu.ANY)],
+        in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
         out_specs=pl.BlockSpec((block_tokens, D), lambda i, idx_ref: (i, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.SemaphoreType.DMA((block_tokens,))],

@@ -19,12 +19,21 @@ from jax.experimental.pallas import tpu as pltpu
 
 from tpukern.core import LANES, cdiv, round_up, use_interpret
 from tpukern.core.registry import register
-from tpukern.ops.reduce import _padded_rows
+
+
+def _padded_rows_fill(x, block_rows, fill):
+    """Flatten to (rows, LANES) with BOTH the lane tail and the row pad
+    filled with `fill` (as_rows zero-pads the tail, which a histogram would
+    miscount as bin 0)."""
+    n = x.size
+    rows = round_up(cdiv(n, LANES), block_rows)
+    xf = jnp.pad(x.reshape(-1), (0, rows * LANES - n), constant_values=fill)
+    return xf.reshape(rows, LANES)
 
 
 def histogram(x, num_bins, block_rows=32, interpret=None):
     """Count occurrences of each value in [0, num_bins) in int32 array x."""
-    x2 = _padded_rows(x.astype(jnp.int32), block_rows, fill=-1)  # -1 never counted
+    x2 = _padded_rows_fill(x.astype(jnp.int32), block_rows, -1)  # -1 never counted
     n_vblocks = x2.shape[0] // block_rows
     bins_p = round_up(num_bins, LANES)
     n_bchunks = bins_p // LANES

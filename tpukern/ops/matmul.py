@@ -49,7 +49,7 @@ def _pad_k(a, b, bk, trans_b):
 
 def matmul(a, b, *, block_m=512, block_n=1024, block_k=512,
            acc_dtype=jnp.float32, out_dtype=None, trans_b=False,
-           swizzle=0, interpret=None):
+           swizzle=0, eager_store=False, interpret=None):
     """C[M,N] = A[M,K] @ B[K,N] (or B[N,K] if trans_b) on the MXU.
 
     3-D grid (M, N, K blocks), K innermost with "arbitrary" semantics so
@@ -88,9 +88,15 @@ def matmul(a, b, *, block_m=512, block_n=1024, block_k=512,
             a_ref[...], b_ref[...], dimension_numbers=dn,
             preferred_element_type=acc_dtype)
 
-        @pl.when(pl.program_id(k_axis) == pl.num_programs(k_axis) - 1)
-        def _():
+        if eager_store:
+            # unconditional store packs into the same instruction bundle as
+            # the matmul (no branch); the VMEM output block is only flushed
+            # to HBM when the grid moves to the next (i, j) tile
             o_ref[...] = acc_ref[...].astype(o_ref.dtype)
+        else:
+            @pl.when(pl.program_id(k_axis) == pl.num_programs(k_axis) - 1)
+            def _():
+                o_ref[...] = acc_ref[...].astype(o_ref.dtype)
 
     cost = pl.CostEstimate(
         flops=int(2 * M * N * K),

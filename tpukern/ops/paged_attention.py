@@ -127,8 +127,8 @@ def paged_attention(q, k_pages, v_pages, lengths, page_table,
         in_specs=[
             pl.BlockSpec((1, 1, group, D), lambda b, h, i, *_: (b, h, 0, 0),
                          memory_space=pltpu.VMEM),
-            pl.BlockSpec(memory_space=pltpu.ANY),   # K pages stay in HBM
-            pl.BlockSpec(memory_space=pltpu.ANY),   # V pages stay in HBM
+            pl.BlockSpec(memory_space=pl.ANY),   # K pages stay in HBM
+            pl.BlockSpec(memory_space=pl.ANY),   # V pages stay in HBM
         ],
         out_specs=pl.BlockSpec((1, 1, group, D), lambda b, h, i, *_: (b, h, 0, 0),
                                memory_space=pltpu.VMEM),

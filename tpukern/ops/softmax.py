@@ -15,8 +15,6 @@ negative finite value, not -inf, so exp() of fully-padded slots is exactly 0
 without NaN risk.
 """
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl

@@ -51,20 +51,22 @@ def _matmul_t_bwd(res, g):
 matmul_t.defvjp(_matmul_t_fwd, _matmul_t_bwd)
 
 
-@jax.custom_vjp
+@functools.partial(jax.custom_vjp, nondiff_argnums=(2,))
 def rms_norm_t(x, g, eps=1e-5):
+    # eps is nondiff/static: under jit a plain argument would become a
+    # traced scalar, which the Pallas kernel cannot close over.
     return _rn.rms_norm(x, g=g, eps=eps)
 
 
 def _rms_fwd(x, g, eps):
-    return rms_norm_t(x, g, eps), (x, g, eps)
+    return rms_norm_t(x, g, eps), (x, g)
 
 
-def _rms_bwd(res, dy):
-    x, g, eps = res
+def _rms_bwd(eps, res, dy):
+    x, g = res
     _, vjp = jax.vjp(lambda x_, g_: _rn.rms_norm_ref(x_, g=g_, eps=eps), x, g)
     dx, dg = vjp(dy)
-    return dx, dg, None
+    return dx, dg
 
 
 rms_norm_t.defvjp(_rms_fwd, _rms_bwd)

@@ -16,18 +16,16 @@ semantics collapse: results are returned on every device; `root` selects
 which shard is the source where relevant.
 """
 
-import functools
-
 import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 
 def _smap(fn, mesh, in_specs, out_specs):
     return shard_map(fn, mesh=mesh, in_specs=in_specs, out_specs=out_specs,
-                     check_rep=False)
+                     check_vma=False)
 
 
 def p2p(x, mesh, axis, shift=1):
@@ -47,7 +45,7 @@ def broadcast(x, mesh, axis, root=0):
     def f(xs):
         idx = lax.axis_index(axis)
         contrib = jnp.where(idx == root, xs, jnp.zeros_like(xs))
-        return lax.psum(contrib, axis)
+        return jnp.squeeze(lax.psum(contrib, axis), axis=0)
 
     return _smap(f, mesh, P(axis), P())(x)
 

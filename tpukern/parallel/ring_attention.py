@@ -13,11 +13,10 @@ shard granularity.
 
 import functools
 
-import jax
 import jax.numpy as jnp
 from jax import lax
 from jax.sharding import PartitionSpec as P
-from jax.experimental.shard_map import shard_map
+from jax import shard_map
 
 from tpukern.ops.attention import NEG_BIG, flash_attention
 
@@ -84,4 +83,4 @@ def ring_attention(q, k, v, mesh, axis="sp", causal=False, sm_scale=None,
 
     spec = P(None, None, axis, None)
     return shard_map(local_fn, mesh=mesh, in_specs=(spec, spec, spec),
-                     out_specs=spec, check_rep=False)(q, k, v)
+                     out_specs=spec, check_vma=False)(q, k, v)
