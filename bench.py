@@ -22,14 +22,17 @@ import jax
 import jax.numpy as jnp
 
 
-def _time(fn, *args, retries=2):
+def _time(fn, *args, retries=3):
+    import time as _time_mod
     from tpukern.harness.bench import device_time
     last = None
-    for _ in range(retries + 1):
+    for attempt in range(retries + 1):
         try:
             return device_time(fn, *args, iters_lo=8, iters_hi=40)
         except Exception as e:  # transient remote-compile 500s happen
             last = e
+            if attempt < retries:
+                _time_mod.sleep(20)  # let the compile server recover
     raise last
 
 
@@ -63,8 +66,12 @@ def main():
     pallas_candidates = {
         "accio_f32out_1024x1024x512": dict(
             block_m=1024, block_n=1024, block_k=512, acc_in_out=True),
+        "accio_f32out_1024x512x512": dict(
+            block_m=1024, block_n=512, block_k=512, acc_in_out=True),
         "accio_f32out_512x1024x512": dict(
             block_m=512, block_n=1024, block_k=512, acc_in_out=True),
+        "accio_f32out_1024x1024x256": dict(
+            block_m=1024, block_n=1024, block_k=256, acc_in_out=True),
         "scratch_bf16out_1024x1024x512": dict(
             block_m=1024, block_n=1024, block_k=512),
         "accio_bf16out_512x1024x512": dict(

@@ -117,3 +117,21 @@ def test_prefill_with_cache(rng):
     ref = attn.attention_ref_offset(q, k_all, v_all, causal_offset=S_cache)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_trainable_grads_gqa(rng):
+    """Pallas backward kernels with GQA head grouping."""
+    q, k, v = _qkv(rng, 1, 4, 128, 64, jnp.float32, Hkv=2)
+
+    def loss(q, k, v):
+        return jnp.sum(attn.flash_attention_trainable(q, k, v, True) ** 2)
+
+    g = jax.grad(loss, argnums=(0, 1, 2))(q, k, v)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(attn.attention_ref(q, k, v, causal=True) ** 2)
+
+    g_ref = jax.grad(loss_ref, argnums=(0, 1, 2))(q, k, v)
+    for a, b in zip(g, g_ref):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-3, atol=2e-3)

@@ -279,23 +279,36 @@ def sdpa_xla(q, k, v, *, causal=False, sm_scale=None):
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
 def flash_attention_trainable(q, k, v, causal=False, sm_scale=None):
-    """Differentiable wrapper: Pallas FA-2 forward, recompute backward via
-    the XLA reference's VJP (flash backward kernels are a planned tier; the
-    reference library itself is forward-only)."""
+    """Differentiable FA-2: Pallas forward saving (o, lse) residuals,
+    Pallas dQ/dKV backward kernels (ops/attention_bwd.py) — no S^2 matrix
+    is materialized in either direction. (The reference library itself is
+    forward-only.)"""
     return flash_attention(q, k, v, causal=causal, sm_scale=sm_scale)
 
 
 def _fat_fwd(q, k, v, causal, sm_scale):
-    o = flash_attention(q, k, v, causal=causal, sm_scale=sm_scale)
-    return o, (q, k, v)
+    o, lse = flash_attention(q, k, v, causal=causal, sm_scale=sm_scale,
+                             return_stats=True)
+    return o, (q, k, v, o, lse)
 
 
 def _fat_bwd(causal, sm_scale, res, g):
-    q, k, v = res
-    _, vjp = jax.vjp(
-        lambda q_, k_, v_: attention_ref(q_, k_, v_, causal=causal,
-                                         sm_scale=sm_scale), q, k, v)
-    return vjp(g)
+    from tpukern.ops.attention_bwd import flash_attention_bwd
+    q, k, v, o, lse = res
+    B, Hq, Sq, D = q.shape
+    Hkv = k.shape[1]
+    if Hkv != Hq:
+        group = Hq // Hkv
+        k_full = jnp.repeat(k, group, axis=1)
+        v_full = jnp.repeat(v, group, axis=1)
+        dq, dk_full, dv_full = flash_attention_bwd(
+            q, k_full, v_full, o, lse, g, causal=causal, sm_scale=sm_scale)
+        Skv = k.shape[2]
+        dk = dk_full.reshape(B, Hkv, group, Skv, D).sum(2).astype(k.dtype)
+        dv = dv_full.reshape(B, Hkv, group, Skv, D).sum(2).astype(v.dtype)
+        return dq, dk, dv
+    return flash_attention_bwd(q, k, v, o, lse, g, causal=causal,
+                               sm_scale=sm_scale)
 
 
 flash_attention_trainable.defvjp(_fat_fwd, _fat_bwd)
