@@ -49,7 +49,9 @@ def main():
              if args.sweep else [(args.B, args.H, args.N, args.D)])
     variants = registry.variants("attention")
     if args.variants:
-        variants = {k: v for k, v in variants.items() if args.variants in k}
+        pats = args.variants.split(",")
+        variants = {k: v for k, v in variants.items()
+                    if any(p in k for p in pats)}
 
     rng = np.random.default_rng(args.seed)
     for (B, H, N, D) in cases:
@@ -75,7 +77,8 @@ def main():
                               if args.check else None,
                               check=args.check)
             except Exception as e:
-                print(f"{name:<34} SKIP ({type(e).__name__}: {e})")
+                print(f"{name:<34} SKIP ({type(e).__name__}: "
+                      f"{str(e)[:120]})")
 
 
 if __name__ == "__main__":

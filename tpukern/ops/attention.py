@@ -42,10 +42,11 @@ NEG_BIG = -0.7 * 3.4e38  # mask value; avoids exp(-inf - -inf) NaN
 # flash_attn_mma.py:436-506)
 MAX_HEADDIM = {
     "mha_splitq_bf16": 1024,
+    "mha_splitq_bf16_hyper": 128,
     "mha_splitq_f32": 512,
     "mha_splitq_f16": 1024,
     "mha_splitq_bf16_stage2": 1024,
-    "mha_splitq_bf16_stage4": 512,
+    "mha_splitq_bf16_stage4": 1024,
     "mha_splitq_bf16_bigq": 512,
     "mha_splitq_bf16_accbf16": 1024,
     "mha_xla_sdpa": 16384,
@@ -86,7 +87,8 @@ def _fa_kernel(*refs, causal, scale, block_q, block_k, with_stats,
         s = jax.lax.dot_general(
             q, k, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)
-        s = s * scale
+        if scale != 1.0:  # scale is folded into q when possible
+            s = s * scale
         if causal or has_alibi:
             rows = (jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
                     + qi * block_q)
@@ -129,7 +131,7 @@ def _fa_kernel(*refs, causal, scale, block_q, block_k, with_stats,
 
 
 def flash_attention(q, k, v, *, causal=False, sm_scale=None,
-                    block_q=128, block_k=128, acc_dtype=jnp.float32,
+                    block_q=512, block_k=1024, acc_dtype=jnp.float32,
                     return_stats=False, alibi_slopes=None,
                     causal_offset=0, interpret=None):
     """FA-2 forward. q: (B, Hq, Sq, D); k, v: (B, Hkv, Skv, D), Hkv | Hq.
@@ -150,6 +152,11 @@ def flash_attention(q, k, v, *, causal=False, sm_scale=None,
     group = Hq // Hkv
     if sm_scale is None:
         sm_scale = 1.0 / math.sqrt(D)
+    # fold the softmax scale into q once at the XLA level: saves one VPU
+    # multiply per score element in the hot loop (FA at small D is
+    # VPU-bound on TPU)
+    q = (q.astype(jnp.float32) * sm_scale).astype(q.dtype)
+    sm_scale = 1.0
     bq = min(block_q, Sq)
     bk = min(block_k, Skv)
     grid = (B, Hq, cdiv(Sq, bq), cdiv(Skv, bk))
@@ -314,13 +321,18 @@ def _fat_bwd(causal, sm_scale, res, g):
 flash_attention_trainable.defvjp(_fat_fwd, _fat_bwd)
 
 
+# tuned on v5e at (B,H,S,D)=(4,48,8192,64): (bq,bk)=(1024,2048) 73.7
+# TFLOPS > (1024,1024) 71.1 > (512,1024) 63.3 >> (128,128) 7.5 — grid-step
+# overhead dominates small tiles; VPU softmax work bounds large ones.
 _VARIANTS = [
     ("mha_splitq_bf16", jnp.bfloat16, dict()),
-    ("mha_splitq_f32", jnp.float32, dict()),
+    ("mha_splitq_bf16_hyper", jnp.bfloat16,
+     dict(block_q=1024, block_k=2048)),
+    ("mha_splitq_f32", jnp.float32, dict(block_q=256, block_k=512)),
     ("mha_splitq_f16", jnp.float16, dict()),
     ("mha_splitq_bf16_stage2", jnp.bfloat16, dict(block_k=256)),
     ("mha_splitq_bf16_stage4", jnp.bfloat16, dict(block_k=512)),
-    ("mha_splitq_bf16_bigq", jnp.bfloat16, dict(block_q=256)),
+    ("mha_splitq_bf16_bigq", jnp.bfloat16, dict(block_q=1024, block_k=1024)),
     ("mha_splitq_bf16_accbf16", jnp.bfloat16, dict(acc_dtype=jnp.bfloat16)),
 ]
 

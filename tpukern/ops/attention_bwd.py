@@ -117,7 +117,7 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
 
 
 def flash_attention_bwd(q, k, v, o, lse, do, *, causal=False, sm_scale=None,
-                        block_q=128, block_k=128, interpret=None):
+                        block_q=256, block_k=512, interpret=None):
     """dQ, dK, dV from saved residuals. Hq == Hkv here; GQA grouping is
     handled by the caller (sum dk/dv over the query-head group)."""
     B, H, Sq, D = q.shape

@@ -21,8 +21,10 @@ from tpukern.ops.attention import flash_attention_trainable  # noqa: F401
 
 
 def _mm_cfg(M, K, N):
+    # accumulate-in-output is the fast design (see ops/matmul.py); for
+    # non-f32 inputs it emits a dual-output epilogue automatically
     return dict(block_m=min(512, M), block_n=min(512, N),
-                block_k=min(512, K))
+                block_k=min(512, K), acc_in_out=True)
 
 
 @jax.custom_vjp
