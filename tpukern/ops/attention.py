@@ -167,12 +167,14 @@ def flash_attention(q, k, v, *, causal=False, sm_scale=None,
         block_q=bq, block_k=bk, with_stats=return_stats,
         has_alibi=has_alibi, causal_offset=causal_offset)
 
+    # lse carries an 8-wide trailing dim: Mosaic block shapes need the
+    # last two dims (8, 128)-aligned or array-sized
     out_shapes = [jax.ShapeDtypeStruct((B, Hq, Sq, D), q.dtype),
-                  jax.ShapeDtypeStruct((B, Hq, Sq, 128), jnp.float32)]
+                  jax.ShapeDtypeStruct((B, Hq, Sq, 8), jnp.float32)]
     out_specs = [
         pl.BlockSpec((1, 1, bq, D), lambda b, h, i, j: (b, h, i, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, bq, 128), lambda b, h, i, j: (b, h, i, 0),
+        pl.BlockSpec((1, 1, bq, 8), lambda b, h, i, j: (b, h, i, 0),
                      memory_space=pltpu.VMEM),
     ]
 

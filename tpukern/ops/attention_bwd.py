@@ -44,8 +44,8 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dq_ref, *,
         k = k_ref[0, 0]
         v = v_ref[0, 0]
         do = do_ref[0, 0].astype(jnp.float32)
-        lse = lse_ref[0, 0].reshape(-1, 1)
-        di = di_ref[0, 0].reshape(-1, 1)
+        lse = lse_ref[0, 0][:, :1]
+        di = di_ref[0, 0][:, :1]
 
         s = jax.lax.dot_general(
             q, k, dimension_numbers=(((1,), (1,)), ((), ())),
@@ -86,8 +86,8 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
         k = k_ref[0, 0]
         v = v_ref[0, 0]
         do = do_ref[0, 0].astype(jnp.float32)
-        lse = lse_ref[0, 0].reshape(1, -1)
-        di = di_ref[0, 0].reshape(1, -1)
+        lse = lse_ref[0, 0][:, :1].reshape(1, -1)
+        di = di_ref[0, 0][:, :1].reshape(1, -1)
 
         # (bk, bq) = k q^T
         s_t = jax.lax.dot_general(
@@ -129,12 +129,17 @@ def flash_attention_bwd(q, k, v, o, lse, do, *, causal=False, sm_scale=None,
     interp = use_interpret() if interpret is None else interpret
 
     di = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1)
+    # 8-wide trailing dim for per-row stats (Mosaic block tiling rule)
+    lse8 = jnp.broadcast_to(lse[..., None], (*lse.shape, 8))
+    di8 = jnp.broadcast_to(di[..., None], (*di.shape, 8))
 
     def spec4(bs, idx):
         return pl.BlockSpec((1, 1, bs, D), idx, memory_space=pltpu.VMEM)
 
     def spec3(bs, idx):
-        return pl.BlockSpec((1, 1, bs), idx, memory_space=pltpu.VMEM)
+        return pl.BlockSpec((1, 1, bs, 8),
+                            lambda *a, _f=idx: (*_f(*a), 0),
+                            memory_space=pltpu.VMEM)
 
     dq = pl.pallas_call(
         functools.partial(_dq_kernel, scale=sm_scale, causal=causal,
@@ -154,7 +159,7 @@ def flash_attention_bwd(q, k, v, o, lse, do, *, causal=False, sm_scale=None,
             dimension_semantics=("parallel", "parallel", "parallel",
                                  "arbitrary")),
         interpret=interp,
-    )(q, k, v, do, lse, di)
+    )(q, k, v, do, lse8, di8)
 
     dk, dv = pl.pallas_call(
         functools.partial(_dkv_kernel, scale=sm_scale, causal=causal,
@@ -176,6 +181,6 @@ def flash_attention_bwd(q, k, v, o, lse, do, *, causal=False, sm_scale=None,
             dimension_semantics=("parallel", "parallel", "parallel",
                                  "arbitrary")),
         interpret=interp,
-    )(q, k, v, do, lse, di)
+    )(q, k, v, do, lse8, di8)
 
     return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)

@@ -41,10 +41,16 @@ def quantize_int8(x, seed=0, stochastic=False, block_rows=256,
         scale = jnp.where(absmax == 0.0, 1.0, absmax / 127.0)
         scaled = xf / scale
         if stochastic:
-            bits = pltpu.bitcast(
-                pltpu.prng_random_bits(scaled.shape), jnp.uint32)
-            v_ref[...] = pltpu.stochastic_round(
-                scaled, bits, target_dtype=jnp.int8)
+            # pltpu.stochastic_round only targets bf16/fp8; int8 stochastic
+            # rounding is floor(x + u), u ~ U[0,1) from the on-chip PRNG
+            bits = pltpu.prng_random_bits(scaled.shape)
+            # Mosaic cannot cast uint32->f32 (and shifts sign-extend):
+            # mask to the low 23 bits via an int32 bitcast for u ~ U[0,1)
+            bits23 = jnp.bitwise_and(pltpu.bitcast(bits, jnp.int32),
+                                     jnp.int32(0x7FFFFF))
+            u = bits23.astype(jnp.float32) * (1.0 / 8388608.0)
+            v_ref[...] = jnp.clip(jnp.floor(scaled + u),
+                                  -128, 127).astype(jnp.int8)
         else:
             v_ref[...] = jnp.round(scaled).astype(jnp.int8)
         s_ref[...] = jnp.broadcast_to(scale, s_ref.shape)

@@ -38,9 +38,10 @@ def rope(x, block_rows=None, interpret=None):
     def kernel(x_ref, o_ref):
         i = pl.program_id(0)
         rows, d = x_ref.shape
-        pos = (jax.lax.broadcasted_iota(jnp.float32, (rows, half), 0)
-               + i * rows)
-        j = jax.lax.broadcasted_iota(jnp.float32, (rows, half), 1)
+        pos = (jax.lax.broadcasted_iota(jnp.int32, (rows, half), 0)
+               + i * rows).astype(jnp.float32)
+        j = jax.lax.broadcasted_iota(
+            jnp.int32, (rows, half), 1).astype(jnp.float32)
         freq = jnp.exp(j * (-2.0 * _LOG_THETA / D))
         ang = pos * freq
         cos, sin = jnp.cos(ang), jnp.sin(ang)
@@ -82,7 +83,8 @@ def rope_batched(x, seq_len, sign=1.0, block_rows=None, interpret=None):
         rows = x_ref.shape[0]
         pos = ((jax.lax.broadcasted_iota(jnp.int32, (rows, half), 0)
                 + i * rows) % seq_len).astype(jnp.float32)
-        j = jax.lax.broadcasted_iota(jnp.float32, (rows, half), 1)
+        j = jax.lax.broadcasted_iota(
+            jnp.int32, (rows, half), 1).astype(jnp.float32)
         freq = jnp.exp(j * (-2.0 * _LOG_THETA / D))
         ang = pos * freq
         cos, sin = jnp.cos(ang), sign * jnp.sin(ang)
