@@ -1,0 +1,19 @@
+"""The teaching micro-examples must stay runnable."""
+
+import subprocess
+import sys
+
+import pytest
+
+EXAMPLES = ["examples/vector_add.py", "examples/tiled_matmul.py",
+            "examples/double_buffered_copy.py"]
+
+
+@pytest.mark.parametrize("path", EXAMPLES)
+def test_example_runs(path):
+    r = subprocess.run([sys.executable, path], capture_output=True,
+                       text=True, timeout=600,
+                       env={"JAX_PLATFORMS": "cpu", "PATH": "/usr/bin:/bin",
+                            "HOME": "/root"})
+    assert r.returncode == 0, r.stderr[-800:]
+    assert "OK" in r.stdout

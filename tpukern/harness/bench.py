@@ -86,17 +86,30 @@ def device_time(fn, *args, iters_lo=4, iters_hi=20, **kw):
             return lax.fori_loop(0, iters, body, jnp.float32(0.0))
         return looped
 
-    times = {}
-    for iters in (iters_lo, iters_hi):
-        f = make(iters)
-        np.asarray(f(*args))  # settle compile + queue
-        best = float("inf")
-        for _ in range(2):    # min-of-2 guards against transient contention
-            t0 = time.perf_counter()
-            np.asarray(f(*args))
-            best = min(best, time.perf_counter() - t0)
-        times[iters] = best
-    sec = (times[iters_hi] - times[iters_lo]) / (iters_hi - iters_lo)
+    def measure(lo, hi):
+        times = {}
+        for iters in (lo, hi):
+            f = make(iters)
+            np.asarray(f(*args))  # settle compile + queue
+            best = float("inf")
+            for _ in range(2):    # min-of-2 guards transient contention
+                t0 = time.perf_counter()
+                np.asarray(f(*args))
+                best = min(best, time.perf_counter() - t0)
+            times[iters] = best
+        return times
+
+    times = measure(iters_lo, iters_hi)
+    window = times[iters_hi] - times[iters_lo]
+    # RPC jitter is ~1-2 ms: grow the loop until the measured window is
+    # comfortably above it (fast kernels need thousands of iterations)
+    if 0 <= window < 0.08:
+        per = max(window / (iters_hi - iters_lo), 2e-6)
+        scale = min(max(int(0.1 / (per * (iters_hi - iters_lo))), 2), 400)
+        iters_lo, iters_hi = iters_lo * scale, iters_hi * scale
+        times = measure(iters_lo, iters_hi)
+        window = times[iters_hi] - times[iters_lo]
+    sec = window / (iters_hi - iters_lo)
     if sec <= 0:  # contention artifact: fall back to the long run alone
         sec = times[iters_hi] / iters_hi
     return sec

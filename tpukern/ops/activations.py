@@ -25,9 +25,10 @@ def _relu(x):
 
 
 def _elu(x, alpha=1.0):
-    # exp computed in f32 for bf16 inputs to match reference's f32 math
+    # all math incl. the compare in f32: Mosaic cannot legalize bf16
+    # vector comparisons (arith.cmpf on bf16)
     xf = x.astype(jnp.float32)
-    return jnp.where(x > 0, xf, alpha * (jnp.exp(xf) - 1.0)).astype(x.dtype)
+    return jnp.where(xf > 0, xf, alpha * (jnp.exp(xf) - 1.0)).astype(x.dtype)
 
 
 def _gelu_tanh(x):
@@ -51,7 +52,9 @@ def _hardswish(x):
 
 
 def _hardshrink(x, lambd=0.5):
-    return jnp.where((x > lambd) | (x < -lambd), x, jnp.zeros_like(x))
+    xf = x.astype(jnp.float32)  # f32 compare (no bf16 cmpf in Mosaic)
+    return jnp.where((xf > lambd) | (xf < -lambd), xf,
+                     jnp.zeros_like(xf)).astype(x.dtype)
 
 
 _ACTS = {

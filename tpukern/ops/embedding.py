@@ -27,9 +27,14 @@ from tpukern.core.registry import register
 
 
 def embedding_prefetch(idx, weight, interpret=None):
-    """One weight row per grid step, chosen by the scalar-prefetched index."""
+    """One weight row per grid step, chosen by the scalar-prefetched index.
+
+    The weight is viewed as (V, 1, D) so the block's last two dims (1, D)
+    equal the array dims — single rows of a 2-D array violate Mosaic's
+    (8, 128) block tiling rule."""
     S = idx.shape[0]
     V, D = weight.shape
+    w3 = weight.reshape(V, 1, D)
 
     def kernel(idx_ref, w_ref, o_ref):
         o_ref[...] = w_ref[...]
@@ -38,18 +43,19 @@ def embedding_prefetch(idx, weight, interpret=None):
         num_scalar_prefetch=1,
         grid=(S,),
         in_specs=[
-            pl.BlockSpec((1, D), lambda i, idx_ref: (idx_ref[i], 0),
+            pl.BlockSpec((1, 1, D), lambda i, idx_ref: (idx_ref[i], 0, 0),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, D), lambda i, idx_ref: (i, 0),
+        out_specs=pl.BlockSpec((1, 1, D), lambda i, idx_ref: (i, 0, 0),
                                memory_space=pltpu.VMEM),
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((S, D), weight.dtype),
+        out_shape=jax.ShapeDtypeStruct((S, 1, D), weight.dtype),
         grid_spec=grid_spec,
         interpret=use_interpret() if interpret is None else interpret,
-    )(idx.astype(jnp.int32), weight)
+    )(idx.astype(jnp.int32), w3)
+    return out.reshape(S, D)
 
 
 def embedding_dma(idx, weight, block_tokens=8, interpret=None):
@@ -59,6 +65,8 @@ def embedding_dma(idx, weight, block_tokens=8, interpret=None):
     S = idx.shape[0]
     V, D = weight.shape
     assert S % block_tokens == 0, "pad token count to the block size"
+    # (V, 1, D) view: whole-row DMAs slice only the leading (untiled) dim
+    w3 = weight.reshape(V, 1, D)
 
     def kernel(idx_ref, w_ref, o_ref, sems):
         i = pl.program_id(0)
@@ -76,16 +84,18 @@ def embedding_dma(idx, weight, block_tokens=8, interpret=None):
         num_scalar_prefetch=1,
         grid=(S // block_tokens,),
         in_specs=[pl.BlockSpec(memory_space=pl.ANY)],
-        out_specs=pl.BlockSpec((block_tokens, D), lambda i, idx_ref: (i, 0),
+        out_specs=pl.BlockSpec((block_tokens, 1, D),
+                               lambda i, idx_ref: (i, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[pltpu.SemaphoreType.DMA((block_tokens,))],
     )
-    return pl.pallas_call(
+    out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((S, D), weight.dtype),
+        out_shape=jax.ShapeDtypeStruct((S, 1, D), weight.dtype),
         grid_spec=grid_spec,
         interpret=use_interpret() if interpret is None else interpret,
-    )(idx.astype(jnp.int32), weight)
+    )(idx.astype(jnp.int32), w3)
+    return out.reshape(S, D)
 
 
 def embedding_onehot(idx, weight, block_tokens=128, interpret=None):

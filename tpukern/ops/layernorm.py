@@ -54,15 +54,22 @@ def layer_norm(x, g=1.0, b=0.0, eps=1e-5, acc_dtype=jnp.float32,
             x_ref, g_ref, b_ref, o_ref = refs
         else:
             x_ref, o_ref = refs
-        xa = x_ref[...].astype(acc_dtype)
+        # arithmetic in f32 (Mosaic has no bf16 rsqrt/cmpf); low-precision
+        # accumulator variants round the row stats through acc_dtype,
+        # matching the reference's *_f16-accumulator semantics
+        xa = x_ref[...].astype(jnp.float32)
         mean = jnp.sum(xa, axis=-1, keepdims=True) / K
         var = jnp.sum(xa * xa, axis=-1, keepdims=True) / K - mean * mean
-        inv = jax.lax.rsqrt(var + jnp.array(eps, acc_dtype))
+        if acc_dtype != jnp.float32:
+            mean = mean.astype(acc_dtype).astype(jnp.float32)
+            var = var.astype(acc_dtype).astype(jnp.float32)
+        inv = jax.lax.rsqrt(var + eps)
         y = (xa - mean) * inv
         if vec_affine:
-            y = y * g_ref[...].astype(acc_dtype) + b_ref[...].astype(acc_dtype)
+            y = (y * g_ref[...].astype(jnp.float32)
+                 + b_ref[...].astype(jnp.float32))
         else:
-            y = y * jnp.array(g, acc_dtype) + jnp.array(b, acc_dtype)
+            y = y * g + b
         o_ref[...] = y.astype(o_ref.dtype)
 
     in_specs = [pl.BlockSpec((br, Kp), lambda i: (i, 0), memory_space=pltpu.VMEM)]

@@ -36,14 +36,18 @@ def rms_norm(x, g=1.0, eps=1e-5, acc_dtype=jnp.float32, block_rows=None,
             x_ref, g_ref, o_ref = refs
         else:
             x_ref, o_ref = refs
-        xa = x_ref[...].astype(acc_dtype)
+        # f32 arithmetic; low-precision acc variants round the row stat
+        # through acc_dtype (see layernorm.py for the Mosaic rationale)
+        xa = x_ref[...].astype(jnp.float32)
         ms = jnp.sum(xa * xa, axis=-1, keepdims=True) / K
-        inv = jax.lax.rsqrt(ms + jnp.array(eps, acc_dtype))
+        if acc_dtype != jnp.float32:
+            ms = ms.astype(acc_dtype).astype(jnp.float32)
+        inv = jax.lax.rsqrt(ms + eps)
         y = xa * inv
         if vec_affine:
-            y = y * g_ref[...].astype(acc_dtype)
+            y = y * g_ref[...].astype(jnp.float32)
         else:
-            y = y * jnp.array(g, acc_dtype)
+            y = y * g
         o_ref[...] = y.astype(o_ref.dtype)
 
     in_specs = [pl.BlockSpec((br, Kp), lambda i: (i, 0), memory_space=pltpu.VMEM)]
