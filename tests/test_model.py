@@ -77,3 +77,24 @@ def test_graft_entry_dryrun():
     out = jax.jit(fn)(*args)
     assert np.isfinite(np.asarray(out)).all()
     ge.dryrun_multichip(8)
+
+
+def test_sharded_train_step_sp(setup):
+    """dp/tp/sp mesh: sequence-parallel loss matches single-device loss."""
+    params, tokens, targets = setup
+    devs = np.array(jax.devices()).reshape(2, 2, 2)
+    mesh = Mesh(devs, axis_names=("dp", "tp", "sp"))
+    specs = param_specs(CFG)
+    params_sharded = jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        params, specs, is_leaf=lambda x: isinstance(x, jnp.ndarray))
+    tx = optax.adamw(1e-3)
+    opt_state = jax.jit(tx.init)(params_sharded)
+    data_spec = NamedSharding(mesh, P("dp", "sp"))
+    tokens_s = jax.device_put(jnp.concatenate([tokens] * 2), data_spec)
+    targets_s = jax.device_put(jnp.concatenate([targets] * 2), data_spec)
+    step = make_sharded_train_step(CFG, tx, mesh)
+    _, _, loss = step(params_sharded, opt_state, tokens_s, targets_s)
+    assert np.isfinite(float(loss))
+    ref_loss = loss_fn(params, tokens_s, targets_s, CFG)
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=2e-2)

@@ -6,11 +6,15 @@ causal transformer whose hot path runs the library's Pallas kernels —
 flash_attention (split-Q FA-2), matmul (MXU GEMM ladder), rms_norm, rope —
 each made differentiable via the custom-VJP wrappers in ops/trainable.py.
 
-Parallelism: explicit SPMD via shard_map on a ("dp", "tp") mesh —
+Parallelism: explicit SPMD via shard_map on a ("dp", "tp"[, "sp"]) mesh —
 - dp: batch sharded; gradients psum over dp,
 - tp: attention heads + MLP hidden sharded (Megatron-style column/row
-  splits); row-split outputs psum over tp; replicated params' grads psum
-  over both axes.
+  splits); row-split outputs psum over tp,
+- sp (optional): activations sharded over the sequence dim for embedding,
+  norms, MLP and the loss (Megatron sequence parallelism); the attention
+  block all-gathers tokens over sp and each shard keeps its slice of the
+  output,
+- replicated params' grads psum over every mesh axis.
 """
 
 from __future__ import annotations
@@ -90,7 +94,11 @@ def param_specs(cfg: Config):
                 lnf=P(), head=P())
 
 
-def _attn_block(h, lp, cfg: Config, tp_size: int, tp_axis):
+def _attn_block(h, lp, cfg: Config, tp_size: int, tp_axis, sp_axis=None):
+    if sp_axis is not None:
+        # sequence parallelism: gather tokens for attention; every sp
+        # member computes the full-sequence attention and keeps its slice
+        h = lax.all_gather(h, sp_axis, axis=1, tiled=True)
     B, S, d = h.shape
     Dh = cfg.head_dim
     hq = cfg.n_heads // tp_size
@@ -117,7 +125,12 @@ def _attn_block(h, lp, cfg: Config, tp_size: int, tp_axis):
     o = matmul_t(o, lp["wo"])
     if tp_axis is not None:
         o = lax.psum(o, tp_axis)
-    return o.reshape(B, S, d)
+    o = o.reshape(B, S, d)
+    if sp_axis is not None:
+        rank = lax.axis_index(sp_axis)
+        s_loc = S // lax.axis_size(sp_axis)
+        o = lax.dynamic_slice_in_dim(o, rank * s_loc, s_loc, axis=1)
+    return o
 
 
 def _mlp_block(h, lp, tp_axis):
@@ -131,13 +144,15 @@ def _mlp_block(h, lp, tp_axis):
     return y.reshape(B, S, d)
 
 
-def forward(params, tokens, cfg: Config, tp_size: int = 1, tp_axis=None):
-    """tokens (B, S) int32 -> logits (B, S, vocab) f32."""
+def forward(params, tokens, cfg: Config, tp_size: int = 1, tp_axis=None,
+            sp_axis=None):
+    """tokens (B, S_local) int32 -> logits (B, S_local, vocab) f32.
+    With sp_axis, S_local is the per-shard slice of the sequence."""
     B, S = tokens.shape
     h = jnp.take(params["embed"], tokens, axis=0)
     for lp in params["layers"]:
         hn = rms_norm_t(h.reshape(B * S, -1), lp["ln1"]).reshape(h.shape)
-        h = h + _attn_block(hn, lp, cfg, tp_size, tp_axis)
+        h = h + _attn_block(hn, lp, cfg, tp_size, tp_axis, sp_axis)
         hn = rms_norm_t(h.reshape(B * S, -1), lp["ln2"]).reshape(h.shape)
         h = h + _mlp_block(hn, lp, tp_axis)
     hn = rms_norm_t(h.reshape(B * S, -1), params["lnf"])
@@ -145,8 +160,9 @@ def forward(params, tokens, cfg: Config, tp_size: int = 1, tp_axis=None):
     return logits.astype(jnp.float32)
 
 
-def loss_fn(params, tokens, targets, cfg: Config, tp_size=1, tp_axis=None):
-    logits = forward(params, tokens, cfg, tp_size, tp_axis)
+def loss_fn(params, tokens, targets, cfg: Config, tp_size=1, tp_axis=None,
+            sp_axis=None):
+    logits = forward(params, tokens, cfg, tp_size, tp_axis, sp_axis)
     logp = jax.nn.log_softmax(logits, axis=-1)
     nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)
     return jnp.mean(nll)
@@ -165,34 +181,40 @@ def make_train_step(cfg: Config, tx):
 
 
 def make_sharded_train_step(cfg: Config, tx, mesh: Mesh):
-    """SPMD train step over a ("dp", "tp") mesh.
+    """SPMD train step over a ("dp", "tp") or ("dp", "tp", "sp") mesh.
 
     The forward/backward runs under shard_map (explicit SPMD: Pallas
-    kernels see local shards; tp row-split outputs psum over "tp").
-    Gradient sync: tp-sharded params pmean over dp only (their grads are
-    already local to the tp shard); replicated params pmean over dp AND tp.
-    The optax update stays outside shard_map — it is elementwise, so GSPMD
+    kernels see local shards; tp row-split outputs psum over "tp"; with an
+    "sp" axis the sequence dim of the data is sharded too). Gradient sync:
+    tp-sharded params pmean over the non-tp axes (their grads are already
+    local to the tp shard); replicated params pmean over every axis. The
+    optax update stays outside shard_map — it is elementwise, so GSPMD
     keeps params/opt-state shardings as-is.
     """
     tp_size = mesh.shape["tp"]
+    has_sp = "sp" in mesh.axis_names
+    sp_axis = "sp" if has_sp else None
+    data_axes = ("dp",) + (("sp",) if has_sp else ())
+    all_axes = ("dp", "tp") + (("sp",) if has_sp else ())
     p_specs = param_specs(cfg)
     flat_specs = jax.tree.leaves(p_specs, is_leaf=lambda x: isinstance(x, P))
 
     def local_grads(params, tokens, targets):
         loss, grads = jax.value_and_grad(loss_fn)(
-            params, tokens, targets, cfg, tp_size, "tp")
+            params, tokens, targets, cfg, tp_size, "tp", sp_axis)
         flat_g, treedef = jax.tree.flatten(grads)
         flat_g = [
-            lax.pmean(g, ("dp",) if "tp" in s else ("dp", "tp"))
+            lax.pmean(g, tuple(a for a in all_axes if a not in s))
             for g, s in zip(flat_g, flat_specs)
         ]
         grads = jax.tree.unflatten(treedef, flat_g)
-        loss = lax.pmean(loss, ("dp", "tp"))
+        loss = lax.pmean(loss, all_axes)
         return loss, grads
 
+    data_spec = P("dp", "sp") if has_sp else P("dp", None)
     grad_fn = shard_map(
         local_grads, mesh=mesh,
-        in_specs=(p_specs, P("dp", None), P("dp", None)),
+        in_specs=(p_specs, data_spec, data_spec),
         out_specs=(P(), p_specs),
         check_vma=False)
 
