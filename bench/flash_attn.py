@@ -38,11 +38,18 @@ def get_args():
     p.add_argument("--variants", default="")
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--seed", type=int, default=42)
+    p.add_argument("--trace", default="",
+                   help="capture an xprof trace to this dir")
     return p.parse_args()
 
 
 def main():
+    import contextlib
     args = get_args()
+    stack = contextlib.ExitStack()
+    if args.trace:
+        from tpukern.harness.profiling import trace
+        stack.enter_context(trace(args.trace))
     cases = ([(args.B, args.H, n, d)
               for n in (1024, 2048, 4096, 8192)
               for d in (64, 128, 256, 512)]
@@ -79,6 +86,7 @@ def main():
             except Exception as e:
                 print(f"{name:<34} SKIP ({type(e).__name__}: "
                       f"{str(e)[:120]})")
+    stack.close()
 
 
 if __name__ == "__main__":

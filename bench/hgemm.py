@@ -35,11 +35,18 @@ def get_args():
     p.add_argument("--iters", type=int, default=20)
     p.add_argument("--warmup", type=int, default=3)
     p.add_argument("--topk", type=int, default=8)
+    p.add_argument("--trace", default="",
+                   help="capture an xprof trace to this dir")
     return p.parse_args()
 
 
 def main():
+    import contextlib
     args = get_args()
+    stack = contextlib.ExitStack()
+    if args.trace:
+        from tpukern.harness.profiling import trace
+        stack.enter_context(trace(args.trace))
     shapes = ([(s, s, s) for s in (1024, 2048, 4096, 6144, 8192)]
               if args.sweep else [(args.mnk,) * 3])
     variants = registry.variants("matmul")
@@ -67,6 +74,7 @@ def main():
                 print(f"{name:<34} SKIP ({type(e).__name__}: {e})")
         del a_f32, b_f32
 
+    stack.close()
     pretty_print_line("top-k by peak TFLOPS")
     league = sorted(((max(t for _, t in rows), n) for n, rows in stats.items()),
                     reverse=True)

@@ -102,16 +102,20 @@ def device_time(fn, *args, iters_lo=4, iters_hi=20, **kw):
     times = measure(iters_lo, iters_hi)
     window = times[iters_hi] - times[iters_lo]
     # RPC jitter is ~1-2 ms: grow the loop until the measured window is
-    # comfortably above it (fast kernels need thousands of iterations)
-    if 0 <= window < 0.08:
-        per = max(window / (iters_hi - iters_lo), 2e-6)
-        scale = min(max(int(0.1 / (per * (iters_hi - iters_lo))), 2), 400)
+    # comfortably above it (fast kernels need thousands of iterations).
+    # A negative window IS jitter — estimate per-iter from the long run
+    # net of the ~26 ms fixed RPC overhead and rescale from that.
+    if window < 0.1:
+        per_est = max(window / (iters_hi - iters_lo),
+                      (times[iters_hi] - 0.026) / iters_hi, 2e-6)
+        scale = min(max(int(0.15 / (per_est * (iters_hi - iters_lo))), 2),
+                    1000)
         iters_lo, iters_hi = iters_lo * scale, iters_hi * scale
         times = measure(iters_lo, iters_hi)
         window = times[iters_hi] - times[iters_lo]
     sec = window / (iters_hi - iters_lo)
     if sec <= 0:  # contention artifact: fall back to the long run alone
-        sec = times[iters_hi] / iters_hi
+        sec = max(times[iters_hi] - 0.026, 1e-6) / iters_hi
     return sec
 
 
