@@ -54,7 +54,10 @@ def _perturb(x, i):
     if jnp.issubdtype(x.dtype, jnp.floating):
         return x + (i.astype(jnp.float32) * 1e-30).astype(x.dtype)
     if jnp.issubdtype(x.dtype, jnp.integer):
-        return x + jnp.where(i < 0, 1, 0).astype(x.dtype)
+        # i % 2 is loop-variant and unfoldable (XLA range-analysis proves
+        # i >= 0, so `i < 0` perturbations get folded away and the whole
+        # kernel hoisted)
+        return x + (i % 2).astype(x.dtype)
     return x
 
 
