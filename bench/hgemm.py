@@ -82,6 +82,8 @@ def main():
         print(f"{n:<34} {tf:8.2f} TFLOPS")
 
     if args.plot:
+        import os
+        os.makedirs(os.path.dirname(args.plot) or ".", exist_ok=True)
         import matplotlib
         matplotlib.use("Agg")
         import matplotlib.pyplot as plt

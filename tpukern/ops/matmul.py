@@ -240,13 +240,15 @@ def matmul_naive(a, b, *, block_m=256, block_n=256, out_dtype=None,
 
 def hgemm(a, b, **kw):
     """Flagship BF16 GEMM (toy-hgemm's hgemm_mma_...stages_dsmem role):
-    1024x1024x512 MXU tiles accumulating in the f32 output block (~chip
-    peak on v5e; see bench.py)."""
+    1024x1024x512 MXU tiles. With f32 output (pass out_dtype=jnp.float32)
+    it accumulates in the output block at ~chip peak (201 TFLOPS on v5e);
+    the default bf16 output uses the scratch-accumulator epilogue (the
+    dual-output variant measured slower — see BENCH_NOTES.md)."""
     kw.setdefault("block_m", 1024)
     kw.setdefault("block_n", 1024)
     kw.setdefault("block_k", 512)
-    kw.setdefault("acc_in_out", True)
-    kw.setdefault("out_dtype", jnp.bfloat16)
+    if jnp.dtype(kw.get("out_dtype") or jnp.bfloat16) == jnp.float32:
+        kw.setdefault("acc_in_out", True)
     return matmul(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16), **kw)
 
 
