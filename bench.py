@@ -66,14 +66,17 @@ def main():
     pallas_candidates = {
         "accio_f32out_1024x1024x512": dict(
             block_m=1024, block_n=1024, block_k=512, acc_in_out=True),
-        "accio_f32out_1024x512x512": dict(
-            block_m=1024, block_n=512, block_k=512, acc_in_out=True),
+        "accio_f32out_1024x1024x512_fused": dict(
+            block_m=1024, block_n=1024, block_k=512, acc_in_out=True,
+            input_fusion=True),
+        "accio_f32out_2048x512x512": dict(
+            block_m=2048, block_n=512, block_k=512, acc_in_out=True),
         "accio_f32out_512x1024x512": dict(
             block_m=512, block_n=1024, block_k=512, acc_in_out=True),
-        "accio_f32out_1024x1024x256": dict(
-            block_m=1024, block_n=1024, block_k=256, acc_in_out=True),
         "scratch_bf16out_1024x1024x512": dict(
             block_m=1024, block_n=1024, block_k=512),
+        "stage_bf16out_1024x1024x1024": dict(
+            block_m=1024, block_n=1024, block_k=1024),
         "accio_bf16out_512x1024x512": dict(
             block_m=512, block_n=1024, block_k=512, acc_in_out=True,
             out_dtype=jnp.bfloat16),
@@ -85,7 +88,8 @@ def main():
             print(f"# {name} -> {t:.1f} TFLOPS", file=sys.stderr)
             best_pk = max(best_pk, (t, name))
         except Exception as e:
-            print(f"# {name} failed: {type(e).__name__}", file=sys.stderr)
+            print(f"# {name} failed: {type(e).__name__}: {str(e)[:160]}",
+                  file=sys.stderr)
 
     print(f"# best tpukern: {best_pk[1]} {best_pk[0]:.1f} TFLOPS; "
           f"best XLA: {best_xla[1]} {best_xla[0]:.1f} TFLOPS",
