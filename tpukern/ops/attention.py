@@ -131,7 +131,7 @@ def _fa_kernel(*refs, causal, scale, block_q, block_k, with_stats,
 
 
 def flash_attention(q, k, v, *, causal=False, sm_scale=None,
-                    block_q=512, block_k=1024, acc_dtype=jnp.float32,
+                    block_q=None, block_k=None, acc_dtype=jnp.float32,
                     return_stats=False, alibi_slopes=None,
                     causal_offset=0, interpret=None):
     """FA-2 forward. q: (B, Hq, Sq, D); k, v: (B, Hkv, Skv, D), Hkv | Hq.
@@ -157,6 +157,13 @@ def flash_attention(q, k, v, *, causal=False, sm_scale=None,
     # VPU-bound on TPU)
     q = (q.astype(jnp.float32) * sm_scale).astype(q.dtype)
     sm_scale = 1.0
+    # shape-aware defaults measured on v5e (BENCH_NOTES.md): grid-step
+    # overhead dominates small tiles, VMEM caps large ones (scale with D)
+    if block_q is None:
+        block_q = 1024 if D <= 128 else 512
+    if block_k is None:
+        block_k = 2048 if (D <= 64 and Skv >= 4096) else \
+            1024 if D <= 128 else 512
     bq = min(block_q, Sq)
     bk = min(block_k, Skv)
     grid = (B, Hq, cdiv(Sq, bq), cdiv(Skv, bk))
@@ -397,7 +404,7 @@ except ImportError:  # keep the registry usable without these modules
 
 
 def flash_attention_splitkv(q, k, v, *, num_splits=4, causal=False,
-                            sm_scale=None, block_q=128, block_k=128,
+                            sm_scale=None, block_q=None, block_k=None,
                             interpret=None):
     """Split-KV attention (the FA-1-style family,
     flash_attn_mma_split_kv.cu): KV is partitioned into `num_splits`
