@@ -62,7 +62,9 @@ def matmul(a, b, *, block_m=512, block_n=1024, block_k=512,
     upcast at the XLA boundary, computed in f32, cast back.
     """
     if out_dtype is None:
-        out_dtype = a.dtype
+        # acc_in_out's natural output IS the accumulator; only an explicit
+        # lower-precision out_dtype engages the dual-output epilogue
+        out_dtype = jnp.dtype(acc_dtype) if acc_in_out else a.dtype
     k_out = kernel_dtype(out_dtype)
     a, b = to_kernel_dtype(a), to_kernel_dtype(b)
     M, K = a.shape
@@ -292,7 +294,7 @@ _VARIANTS = [
     ("hgemm_accio_bf16", matmul, jnp.bfloat16,
      dict(block_m=1024, block_n=1024, block_k=512, acc_in_out=True,
           out_dtype=jnp.bfloat16)),
-    ("hgemm_accio_f32out", matmul, jnp.bfloat16,
+    ("hgemm_accio_bf16_f32acc", matmul, jnp.bfloat16,
      dict(block_m=1024, block_n=1024, block_k=512, acc_in_out=True)),
     ("sgemm_accio_f32", matmul, jnp.float32,
      dict(block_m=512, block_n=1024, block_k=512, acc_in_out=True)),
