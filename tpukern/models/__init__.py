@@ -1,3 +1,5 @@
+from tpukern.models.moe import (init_moe_params, moe_block,
+                                moe_param_specs, aux_load_balance_loss)
 from tpukern.models.transformer import (
     Config,
     init_params,
@@ -11,4 +13,6 @@ from tpukern.models.transformer import (
 __all__ = [
     "Config", "init_params", "forward", "loss_fn", "make_train_step",
     "make_sharded_train_step", "param_specs",
+    "init_moe_params", "moe_block", "moe_param_specs",
+    "aux_load_balance_loss",
 ]
