@@ -8,8 +8,8 @@ import pytest
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 from tpukern.models import (Config, forward, init_params, loss_fn,
-                            make_sharded_train_step, make_train_step,
-                            param_specs)
+                            make_sharded_grad_fn, make_sharded_train_step,
+                            make_train_step, param_specs)
 
 CFG = Config(vocab=128, d_model=128, n_layers=1, n_heads=4, n_kv_heads=2,
              d_ff=256, max_seq=64)
@@ -77,6 +77,50 @@ def test_graft_entry_dryrun():
     out = jax.jit(fn)(*args)
     assert np.isfinite(np.asarray(out)).all()
     ge.dryrun_multichip(8)
+
+
+@pytest.mark.parametrize("mesh_shape", [
+    {"dp": 4, "tp": 2},
+    {"dp": 2, "tp": 2, "sp": 2},
+])
+def test_sharded_grads_match_single_device(mesh_shape):
+    """Sharded gradients must equal single-device gradients of the same
+    global loss — incl. tp-sharded params (the psum-transpose xTP trap)
+    and at depth >= 2 layers, where a constant-factor correction would
+    not be exact."""
+    cfg = Config(vocab=64, d_model=64, n_layers=2, n_heads=4, n_kv_heads=2,
+                 d_ff=128, max_seq=32)
+    params = init_params(cfg, jax.random.key(1))
+    rng = np.random.default_rng(1)
+    tokens = jnp.asarray(rng.integers(0, cfg.vocab, (4, 32)), jnp.int32)
+    targets = jnp.asarray(rng.integers(0, cfg.vocab, (4, 32)), jnp.int32)
+
+    ref_loss, ref_grads = jax.value_and_grad(loss_fn)(
+        params, tokens, targets, cfg)
+
+    devs = np.array(jax.devices()).reshape(*mesh_shape.values())
+    mesh = Mesh(devs, axis_names=tuple(mesh_shape))
+    specs = param_specs(cfg)
+    params_s = jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        params, specs, is_leaf=lambda x: isinstance(x, jnp.ndarray))
+    data_spec = NamedSharding(
+        mesh, P("dp", "sp") if "sp" in mesh_shape else P("dp", None))
+    tokens_s = jax.device_put(tokens, data_spec)
+    targets_s = jax.device_put(targets, data_spec)
+
+    loss, grads = jax.jit(make_sharded_grad_fn(cfg, mesh))(
+        params_s, tokens_s, targets_s)
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5)
+
+    flat_ref, _ = jax.tree.flatten(ref_grads)
+    flat_got, _ = jax.tree.flatten(grads)
+    paths = [jax.tree_util.keystr(p)
+             for p, _ in jax.tree_util.tree_flatten_with_path(ref_grads)[0]]
+    for path, r, g in zip(paths, flat_ref, flat_got):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(r), rtol=2e-4, atol=2e-6,
+            err_msg=f"grad mismatch for {path}")
 
 
 def test_sharded_train_step_sp(setup):

@@ -6,13 +6,14 @@ from tpukern.models.transformer import (
     forward,
     loss_fn,
     make_train_step,
+    make_sharded_grad_fn,
     make_sharded_train_step,
     param_specs,
 )
 
 __all__ = [
     "Config", "init_params", "forward", "loss_fn", "make_train_step",
-    "make_sharded_train_step", "param_specs",
+    "make_sharded_grad_fn", "make_sharded_train_step", "param_specs",
     "init_moe_params", "moe_block", "moe_param_specs",
     "aux_load_balance_loss",
 ]

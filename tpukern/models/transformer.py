@@ -94,7 +94,59 @@ def param_specs(cfg: Config):
                 lnf=P(), head=P())
 
 
+# --- tp gradient semantics under shard_map(check_vma=False) ---
+#
+# With replication tracking off, the transpose of lax.psum is psum, so the
+# (tp-replicated) cotangent flowing into a row-split output psum picks up a
+# spurious xTP factor that contaminates every gradient upstream inside the
+# branch — and for >=2 layers the per-device cotangents of the residual
+# stream become outright wrong (not a fixable constant factor). These two
+# custom-VJP markers implement the correct replication semantics manually,
+# exactly what check_vma=True's pbroadcast/pvary pair would do:
+#
+#   _psum_invariant: forward psum; backward identity (the output cotangent
+#       is tp-replicated, so pbroadcast — not psum — is the true transpose).
+#   _enter_varying:  forward identity at the boundary where a tp-replicated
+#       activation enters tp-sharded compute; backward psums the per-shard
+#       cotangent contributions (the pvary transpose).
+#
+# With both in place every gradient is exact on every device at any depth.
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _psum_invariant(x, axis):
+    return lax.psum(x, axis)
+
+
+def _psum_inv_fwd(x, axis):
+    return lax.psum(x, axis), None
+
+
+def _psum_inv_bwd(axis, _, g):
+    return (g,)
+
+
+_psum_invariant.defvjp(_psum_inv_fwd, _psum_inv_bwd)
+
+
+@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
+def _enter_varying(x, axis):
+    return x
+
+
+def _ev_fwd(x, axis):
+    return x, None
+
+
+def _ev_bwd(axis, _, g):
+    return (lax.psum(g, axis),)
+
+
+_enter_varying.defvjp(_ev_fwd, _ev_bwd)
+
+
 def _attn_block(h, lp, cfg: Config, tp_size: int, tp_axis, sp_axis=None):
+    if tp_axis is not None:
+        h = _enter_varying(h, tp_axis)
     if sp_axis is not None:
         # sequence parallelism: gather tokens for attention; every sp
         # member computes the full-sequence attention and keeps its slice
@@ -124,7 +176,7 @@ def _attn_block(h, lp, cfg: Config, tp_size: int, tp_axis, sp_axis=None):
     o = o.transpose(0, 2, 1, 3).reshape(B * S, hq * Dh)
     o = matmul_t(o, lp["wo"])
     if tp_axis is not None:
-        o = lax.psum(o, tp_axis)
+        o = _psum_invariant(o, tp_axis)
     o = o.reshape(B, S, d)
     if sp_axis is not None:
         rank = lax.axis_index(sp_axis)
@@ -135,12 +187,14 @@ def _attn_block(h, lp, cfg: Config, tp_size: int, tp_axis, sp_axis=None):
 
 def _mlp_block(h, lp, tp_axis):
     B, S, d = h.shape
+    if tp_axis is not None:
+        h = _enter_varying(h, tp_axis)
     h2 = h.reshape(B * S, d)
     u = matmul_t(h2, lp["w1"])
     u = jax.nn.gelu(u)
     y = matmul_t(u, lp["w2"])
     if tp_axis is not None:
-        y = lax.psum(y, tp_axis)
+        y = _psum_invariant(y, tp_axis)
     return y.reshape(B, S, d)
 
 
@@ -180,21 +234,13 @@ def make_train_step(cfg: Config, tx):
     return step
 
 
-def make_sharded_train_step(cfg: Config, tx, mesh: Mesh):
-    """SPMD train step over a ("dp", "tp") or ("dp", "tp", "sp") mesh.
-
-    The forward/backward runs under shard_map (explicit SPMD: Pallas
-    kernels see local shards; tp row-split outputs psum over "tp"; with an
-    "sp" axis the sequence dim of the data is sharded too). Gradient sync:
-    tp-sharded params pmean over the non-tp axes (their grads are already
-    local to the tp shard); replicated params pmean over every axis. The
-    optax update stays outside shard_map — it is elementwise, so GSPMD
-    keeps params/opt-state shardings as-is.
-    """
+def make_sharded_grad_fn(cfg: Config, mesh: Mesh):
+    """shard_mapped (params, tokens, targets) -> (loss, grads) over a
+    ("dp", "tp"[, "sp"]) mesh. Gradients equal the single-device gradients
+    of loss_fn on the full (unsharded) batch."""
     tp_size = mesh.shape["tp"]
     has_sp = "sp" in mesh.axis_names
     sp_axis = "sp" if has_sp else None
-    data_axes = ("dp",) + (("sp",) if has_sp else ())
     all_axes = ("dp", "tp") + (("sp",) if has_sp else ())
     p_specs = param_specs(cfg)
     flat_specs = jax.tree.leaves(p_specs, is_leaf=lambda x: isinstance(x, P))
@@ -212,11 +258,28 @@ def make_sharded_train_step(cfg: Config, tx, mesh: Mesh):
         return loss, grads
 
     data_spec = P("dp", "sp") if has_sp else P("dp", None)
-    grad_fn = shard_map(
+    return shard_map(
         local_grads, mesh=mesh,
         in_specs=(p_specs, data_spec, data_spec),
         out_specs=(P(), p_specs),
         check_vma=False)
+
+
+def make_sharded_train_step(cfg: Config, tx, mesh: Mesh):
+    """SPMD train step over a ("dp", "tp") or ("dp", "tp", "sp") mesh.
+
+    The forward/backward runs under shard_map (explicit SPMD: Pallas
+    kernels see local shards; tp row-split outputs psum over "tp"; with an
+    "sp" axis the sequence dim of the data is sharded too). The tp-branch
+    boundary markers (_enter_varying / _psum_invariant) give exact
+    per-device gradients despite check_vma=False. Gradient sync is then
+    purely data-parallel averaging: every param pmeans over the mesh axes
+    it is not sharded on (for replicated params the tp leg of that pmean
+    averages identical values — a no-op). The optax update stays outside
+    shard_map — it is elementwise, so GSPMD keeps params/opt-state
+    shardings as-is.
+    """
+    grad_fn = make_sharded_grad_fn(cfg, mesh)
 
     @jax.jit
     def step(params, opt_state, tokens, targets):
