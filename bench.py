@@ -11,6 +11,14 @@ Timing is the on-device fori_loop slope method (harness.bench.device_time)
 — host wall-clock is unreliable through the remote TPU tunnel. The sweep
 is the TPU analog of the reference's stages/swizzle sweep
 (kernels/hgemm/hgemm.py:363+).
+
+Phase robustness: the shared tunnel's throughput drifts by tens of percent
+between "phases" (BENCH_NOTES.md). A single serial pass can time XLA in a
+good phase and the Pallas candidates in a bad one (this sank the round-1
+artifact: 84% recorded vs 106% measured same-phase). So measurement is
+INTERLEAVED A/B over several passes — every pass re-times the XLA
+baselines next to the Pallas candidates — and each config keeps its best
+across passes, so both sides of the ratio get a good-phase sample.
 """
 
 import json
@@ -48,53 +56,67 @@ def main():
     def tf(t):
         return flops / t / 1e12
 
-    xla_candidates = {
-        "xla_bf16out": lambda a, b: jnp.dot(
+    def pk(name, **cfg):
+        return (name, lambda a, b, _c=cfg: matmul(a, b, **_c), "pk")
+
+    candidates = [
+        ("xla_bf16out", lambda a, b: jnp.dot(
             a, b, preferred_element_type=jnp.float32).astype(jnp.bfloat16),
-        "xla_f32out": lambda a, b: jnp.dot(
-            a, b, preferred_element_type=jnp.float32),
-    }
-    best_xla = (0.0, None)
-    for name, fn in xla_candidates.items():
-        try:
-            t = tf(_time(fn, a, b))
-            print(f"# {name} -> {t:.1f} TFLOPS", file=sys.stderr)
-            best_xla = max(best_xla, (t, name))
-        except Exception as e:
-            print(f"# {name} failed: {e}", file=sys.stderr)
+         "xla"),
+        pk("accio_f32out_1024x1024x512_fused",
+           block_m=1024, block_n=1024, block_k=512, acc_in_out=True,
+           input_fusion=True),
+        ("xla_f32out", lambda a, b: jnp.dot(
+            a, b, preferred_element_type=jnp.float32), "xla"),
+        pk("accio_f32out_1024x1024x512",
+           block_m=1024, block_n=1024, block_k=512, acc_in_out=True),
+        # f32 accumulate-in-output + XLA downcast pass = a legitimate
+        # bf16-out path whose consume/timing overhead matches the XLA
+        # bf16-out baseline exactly
+        ("accio_downcast_bf16out", lambda a, b: matmul(
+            a, b, block_m=1024, block_n=1024, block_k=512, acc_in_out=True
+        ).astype(jnp.bfloat16), "pk"),
+        pk("accio_f32out_512x1024x512",
+           block_m=512, block_n=1024, block_k=512, acc_in_out=True),
+        pk("scratch_bf16out_1024x1024x512",
+           block_m=1024, block_n=1024, block_k=512),
+        pk("eager_bf16out_1024x1024x512",
+           block_m=1024, block_n=1024, block_k=512, eager_store=True),
+    ]
 
-    pallas_candidates = {
-        "accio_f32out_1024x1024x512": dict(
-            block_m=1024, block_n=1024, block_k=512, acc_in_out=True),
-        "accio_f32out_1024x1024x512_fused": dict(
-            block_m=1024, block_n=1024, block_k=512, acc_in_out=True,
-            input_fusion=True),
-        "accio_f32out_2048x512x512": dict(
-            block_m=2048, block_n=512, block_k=512, acc_in_out=True),
-        "accio_f32out_512x1024x512": dict(
-            block_m=512, block_n=1024, block_k=512, acc_in_out=True),
-        "scratch_bf16out_1024x1024x512": dict(
-            block_m=1024, block_n=1024, block_k=512),
-        "stage_bf16out_1024x1024x1024": dict(
-            block_m=1024, block_n=1024, block_k=1024),
-        "accio_bf16out_512x1024x512": dict(
-            block_m=512, block_n=1024, block_k=512, acc_in_out=True,
-            out_dtype=jnp.bfloat16),
-    }
-    best_pk = (0.0, None)
-    for name, cfg in pallas_candidates.items():
-        try:
-            t = tf(_time(lambda a, b, _c=cfg: matmul(a, b, **_c), a, b))
-            print(f"# {name} -> {t:.1f} TFLOPS", file=sys.stderr)
-            best_pk = max(best_pk, (t, name))
-        except Exception as e:
-            print(f"# {name} failed: {type(e).__name__}: {str(e)[:160]}",
-                  file=sys.stderr)
+    best = {}   # name -> best TFLOPS over all passes
+    kind = {name: k for name, _, k in candidates}
 
-    print(f"# best tpukern: {best_pk[1]} {best_pk[0]:.1f} TFLOPS; "
-          f"best XLA: {best_xla[1]} {best_xla[0]:.1f} TFLOPS",
-          file=sys.stderr)
-    pct = 100.0 * best_pk[0] / max(best_xla[0], 1e-9)
+    def run_pass(cands, tag):
+        for name, fn, _k in cands:
+            try:
+                t = tf(_time(fn, a, b))
+                best[name] = max(best.get(name, 0.0), t)
+                print(f"# [{tag}] {name} -> {t:.1f} TFLOPS "
+                      f"(best {best[name]:.1f})", file=sys.stderr)
+            except Exception as e:
+                print(f"# [{tag}] {name} failed: {type(e).__name__}: "
+                      f"{str(e)[:160]}", file=sys.stderr)
+
+    # pass 1: everything, XLA interleaved at front/middle
+    run_pass(candidates, "pass1")
+
+    # passes 2-3: baselines + the two best Pallas configs, interleaved
+    top_pk = sorted((n for n in best if kind[n] == "pk"),
+                    key=lambda n: -best[n])[:2]
+    short = [c for c in candidates
+             if kind[c[0]] == "xla" or c[0] in top_pk]
+    for i in (2, 3):
+        run_pass(short, f"pass{i}")
+
+    xla_best = max((v for n, v in best.items() if kind[n] == "xla"),
+                   default=1e-9)
+    pk_items = [(v, n) for n, v in best.items() if kind[n] == "pk"]
+    pk_best, pk_name = max(pk_items, default=(0.0, None))
+    xla_name = max((v, n) for n, v in best.items() if kind[n] == "xla")[1]
+    print(f"# best tpukern: {pk_name} {pk_best:.1f} TFLOPS; "
+          f"best XLA: {xla_name} {xla_best:.1f} TFLOPS", file=sys.stderr)
+    pct = 100.0 * pk_best / xla_best
     print(json.dumps({
         "metric": "hgemm_bf16_4096_best_pct_of_best_xla",
         "value": round(pct, 2),

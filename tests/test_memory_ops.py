@@ -75,6 +75,9 @@ def test_nms(rng):
     out = nms_mod.nms(jnp.asarray(boxes, jnp.float32),
                       jnp.asarray(scores, jnp.float32), 0.5)
     ref = nms_mod.nms_ref(boxes, scores, 0.5)
-    kept_out = sorted(int(i) for i in np.asarray(out) if i >= 0)
-    kept_ref = sorted(int(i) for i in ref if i >= 0)
-    assert kept_out == kept_ref
+    # exact elementwise match: kept indices compacted to the front in
+    # descending-score order, -1 padding after (the registry --check
+    # contract; round-1 ADVICE found the raw mask layout false-failing it)
+    np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+    assert (np.asarray(out) >= 0).sum() > 0
+    assert (np.asarray(out) == -1).sum() > 0  # some boxes suppressed

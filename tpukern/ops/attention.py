@@ -37,6 +37,8 @@ from tpukern.core import cdiv, to_kernel_dtype, use_interpret
 from tpukern.core.registry import register
 
 NEG_BIG = -0.7 * 3.4e38  # mask value; avoids exp(-inf - -inf) NaN
+LOG2E = math.log2(math.e)
+LN2 = math.log(2.0)
 
 # variant name -> max supported head dim (the MAX_HEADDIM_CFG analog,
 # flash_attn_mma.py:436-506)
@@ -54,15 +56,28 @@ MAX_HEADDIM = {
 }
 
 
-def _fa_kernel(*refs, causal, scale, block_q, block_k, with_stats,
-               has_alibi, causal_offset=0):
+def _fa_kernel(*refs, causal, block_q, block_k, with_stats,
+               has_alibi, causal_offset=0, kv_len=None, use_exp2=True):
+    """Online-softmax body, by default in log2 space: q arrives pre-scaled
+    by sm_scale*log2(e), so p = exp2(s - m) uses the VPU's fast exp2 and
+    saves one multiply per score element (the rescale-then-update
+    recurrence, reference flash_attn_mma_split_q.cu:532-560). TPU exp2 is
+    the quick hardware approximation (~2^-13 relative) — fine inside
+    bf16/f16 tolerances, so the f32 tier sets use_exp2=False and keeps the
+    accurate exp polynomial.
+    kv_len is the true KV length when Skv is not a block_k multiple:
+    out-of-range columns (undefined block padding) are masked."""
+    refs = list(refs)
+    q_ref, k_ref, v_ref = refs[:3]
+    i = 3
+    slopes_ref = None
     if has_alibi:
-        (q_ref, k_ref, v_ref, slopes_ref, o_ref, lse_ref,
-         m_ref, l_ref, acc_ref) = refs
-    else:
-        (q_ref, k_ref, v_ref, o_ref, lse_ref,
-         m_ref, l_ref, acc_ref) = refs
-        slopes_ref = None
+        slopes_ref = refs[i]
+        i += 1
+    o_ref = refs[i]
+    i += 1
+    lse_ref = refs[i] if with_stats else None
+    m_ref, l_ref, acc_ref = refs[-3:]
     qi = pl.program_id(2)
     ki = pl.program_id(3)
     h = pl.program_id(1)
@@ -80,40 +95,48 @@ def _fa_kernel(*refs, causal, scale, block_q, block_k, with_stats,
     else:
         should_run = True
 
+    # the f32 tier needs true-f32 MXU passes: TPU DEFAULT precision runs
+    # f32 dots through bf16 multiplies (~1e-3 relative error)
+    prec = None if use_exp2 else jax.lax.Precision.HIGHEST
+
     @pl.when(should_run)
     def _():
         q = q_ref[0, 0]
         k = k_ref[0, 0]
         s = jax.lax.dot_general(
             q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        if scale != 1.0:  # scale is folded into q when possible
-            s = s * scale
+            preferred_element_type=jnp.float32, precision=prec)
+        need_cols = causal or has_alibi or kv_len is not None
+        if need_cols:
+            cols = (jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+                    + ki * block_k)
         if causal or has_alibi:
             rows = (jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
                     + qi * block_q)
-            cols = (jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-                    + ki * block_k)
         if has_alibi:
             # ALiBi: s += slope_h * (k_pos - q_pos)  (reference:
-            # kernels/openai-triton/prefix_prefill_alibi.py)
+            # kernels/openai-triton/prefix_prefill_alibi.py); the slope is
+            # pre-multiplied by log2(e) to stay in log2 space
             s = s + slopes_ref[h] * (cols - rows).astype(jnp.float32)
         if causal:
             s = jnp.where(cols <= rows + causal_offset, s, NEG_BIG)
+        if kv_len is not None:
+            s = jnp.where(cols < kv_len, s, NEG_BIG)
 
+        exp_fn = jnp.exp2 if use_exp2 else jnp.exp
         m_prev = m_ref[:, :1]
         l_prev = l_ref[:, :1]
         m_cur = jnp.max(s, axis=-1, keepdims=True)
         m_next = jnp.maximum(m_prev, m_cur)
-        alpha = jnp.exp(m_prev - m_next)
-        p = jnp.exp(s - m_next)
+        alpha = exp_fn(m_prev - m_next)
+        p = exp_fn(s - m_next)
         l_ref[:, :1] = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
         m_ref[:, :1] = m_next
         v = v_ref[0, 0]
         pv = jax.lax.dot_general(
             p.astype(v.dtype), v,
             dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            preferred_element_type=jnp.float32, precision=prec)
         # round through the accumulator dtype (the acc-f16-twin semantics);
         # mixed-dtype stores are rejected by Pallas
         acc_ref[...] = (acc_ref[...].astype(jnp.float32) * alpha + pv
@@ -126,7 +149,9 @@ def _fa_kernel(*refs, causal, scale, block_q, block_k, with_stats,
         o_ref[0, 0] = (acc_ref[...].astype(jnp.float32) * l_inv
                        ).astype(o_ref.dtype)
         if with_stats:
-            lse = m_ref[:, :1] + jnp.log(jnp.maximum(l, 1e-37))
+            # in log2 space m is in log2 units: lse_nat = ln2 * m + ln(l)
+            m_nat = (LN2 * m_ref[:, :1]) if use_exp2 else m_ref[:, :1]
+            lse = m_nat + jnp.log(jnp.maximum(l, 1e-37))
             lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref.shape[2:])
 
 
@@ -152,11 +177,13 @@ def flash_attention(q, k, v, *, causal=False, sm_scale=None,
     group = Hq // Hkv
     if sm_scale is None:
         sm_scale = 1.0 / math.sqrt(D)
-    # fold the softmax scale into q once at the XLA level: saves one VPU
-    # multiply per score element in the hot loop (FA at small D is
-    # VPU-bound on TPU)
-    q = (q.astype(jnp.float32) * sm_scale).astype(q.dtype)
-    sm_scale = 1.0
+    # fold the softmax scale AND (for half-precision tiers) log2(e) into q
+    # once at the XLA level: saves one VPU multiply per score element, and
+    # the kernel then uses the fast native exp2 (FA at small D is VPU-bound
+    # on TPU). The f32 tier keeps natural-log space + accurate exp.
+    use_exp2 = jnp.dtype(orig_dtype) != jnp.float32
+    q = (q.astype(jnp.float32)
+         * (sm_scale * (LOG2E if use_exp2 else 1.0))).astype(q.dtype)
     # shape-aware defaults measured on v5e (BENCH_NOTES.md): grid-step
     # overhead dominates small tiles, VMEM caps large ones (scale with D)
     if block_q is None:
@@ -166,24 +193,40 @@ def flash_attention(q, k, v, *, causal=False, sm_scale=None,
             1024 if D <= 128 else 512
     bq = min(block_q, Sq)
     bk = min(block_k, Skv)
-    grid = (B, Hq, cdiv(Sq, bq), cdiv(Skv, bk))
+    # Non-block-multiple sequence lengths: zero-pad at the XLA boundary so
+    # tail blocks hold defined data (Pallas tail padding is undefined
+    # memory), and mask the padded KV columns in-kernel (kv_len below) so
+    # they can't enter the online-softmax statistics.
+    Sq_p, Skv_p = -(-Sq // bq) * bq, -(-Skv // bk) * bk
+    if Sq_p != Sq:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, Sq_p - Sq), (0, 0)))
+    if Skv_p != Skv:
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, Skv_p - Skv), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, Skv_p - Skv), (0, 0)))
+    grid = (B, Hq, cdiv(Sq_p, bq), cdiv(Skv_p, bk))
 
     has_alibi = alibi_slopes is not None
     kernel = functools.partial(
-        _fa_kernel, causal=causal, scale=sm_scale,
+        _fa_kernel, causal=causal,
         block_q=bq, block_k=bk, with_stats=return_stats,
-        has_alibi=has_alibi, causal_offset=causal_offset)
+        has_alibi=has_alibi, causal_offset=causal_offset,
+        kv_len=Skv if Skv % bk else None, use_exp2=use_exp2)
 
     # lse carries an 8-wide trailing dim: Mosaic block shapes need the
-    # last two dims (8, 128)-aligned or array-sized
-    out_shapes = [jax.ShapeDtypeStruct((B, Hq, Sq, D), q.dtype),
-                  jax.ShapeDtypeStruct((B, Hq, Sq, 8), jnp.float32)]
+    # last two dims (8, 128)-aligned or array-sized. Only materialized
+    # when requested — an unconditional stats output would add ~25% of
+    # output-write DMA traffic at D=64 for nothing.
+    out_shapes = [jax.ShapeDtypeStruct((B, Hq, Sq_p, D), q.dtype)]
     out_specs = [
         pl.BlockSpec((1, 1, bq, D), lambda b, h, i, j: (b, h, i, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, bq, 8), lambda b, h, i, j: (b, h, i, 0),
-                     memory_space=pltpu.VMEM),
     ]
+    if return_stats:
+        out_shapes.append(
+            jax.ShapeDtypeStruct((B, Hq, Sq_p, 8), jnp.float32))
+        out_specs.append(
+            pl.BlockSpec((1, 1, bq, 8), lambda b, h, i, j: (b, h, i, 0),
+                         memory_space=pltpu.VMEM))
 
     in_specs = [
         pl.BlockSpec((1, 1, bq, D),
@@ -199,9 +242,10 @@ def flash_attention(q, k, v, *, causal=False, sm_scale=None,
     args = [q, k, v]
     if has_alibi:
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
-        args.append(jnp.asarray(alibi_slopes, jnp.float32))
+        args.append(jnp.asarray(alibi_slopes, jnp.float32)
+                    * (LOG2E if use_exp2 else 1.0))
 
-    o, lse = pl.pallas_call(
+    res = pl.pallas_call(
         kernel,
         out_shape=tuple(out_shapes),
         grid=grid,
@@ -223,9 +267,9 @@ def flash_attention(q, k, v, *, causal=False, sm_scale=None,
         ),
         interpret=use_interpret() if interpret is None else interpret,
     )(*args)
-    o = o.astype(orig_dtype)
+    o = res[0][:, :, :Sq].astype(orig_dtype)
     if return_stats:
-        return o, lse[..., 0]
+        return o, res[1][:, :, :Sq, 0]
     return o
 
 
@@ -241,7 +285,8 @@ def attention_ref(q, k, v, *, causal=False, sm_scale=None,
         k = jnp.repeat(k, Hq // Hkv, axis=1)
         v = jnp.repeat(v, Hq // Hkv, axis=1)
     s = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32),
-                   k.astype(jnp.float32)) * sm_scale
+                   k.astype(jnp.float32),
+                   precision=jax.lax.Precision.HIGHEST) * sm_scale
     if alibi_slopes is not None:
         rel = (jnp.arange(Skv)[None, :] - jnp.arange(Sq)[:, None]
                ).astype(jnp.float32)
@@ -250,8 +295,8 @@ def attention_ref(q, k, v, *, causal=False, sm_scale=None,
         mask = jnp.tril(jnp.ones((Sq, Skv), bool))
         s = jnp.where(mask, s, -jnp.inf)
     p = jax.nn.softmax(s, axis=-1)
-    return jnp.einsum("bhqk,bhkd->bhqd", p,
-                      v.astype(jnp.float32)).astype(q.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", p, v.astype(jnp.float32),
+                      precision=jax.lax.Precision.HIGHEST).astype(q.dtype)
 
 
 def prefill_attention(q, k_cache, v_cache, k_new, v_new, **kw):
@@ -270,13 +315,14 @@ def attention_ref_offset(q, k, v, *, causal_offset=0, sm_scale=None):
     if sm_scale is None:
         sm_scale = 1.0 / math.sqrt(D)
     s = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32),
-                   k.astype(jnp.float32)) * sm_scale
+                   k.astype(jnp.float32),
+                   precision=jax.lax.Precision.HIGHEST) * sm_scale
     mask = (jnp.arange(Skv)[None, :]
             <= jnp.arange(Sq)[:, None] + causal_offset)
     s = jnp.where(mask, s, -jnp.inf)
     p = jax.nn.softmax(s, axis=-1)
-    return jnp.einsum("bhqk,bhkd->bhqd", p,
-                      v.astype(jnp.float32)).astype(q.dtype)
+    return jnp.einsum("bhqk,bhkd->bhqd", p, v.astype(jnp.float32),
+                      precision=jax.lax.Precision.HIGHEST).astype(q.dtype)
 
 
 def sdpa_xla(q, k, v, *, causal=False, sm_scale=None):
@@ -353,8 +399,20 @@ def _fa_flops(q, k, v, **kw):
     return f // 2 if kw.get("causal") else f
 
 
+def _check_headdim(name, q):
+    """Enforce the per-variant head-dim capability table (the
+    MAX_HEADDIM_CFG skip logic, flash_attn_mma.py:436-506): a clear error
+    instead of an opaque Mosaic VMEM failure."""
+    limit = MAX_HEADDIM.get(name)
+    if limit is not None and q.shape[-1] > limit:
+        raise ValueError(
+            f"attention variant {name!r} supports head dim <= {limit}, "
+            f"got D={q.shape[-1]} (see MAX_HEADDIM)")
+
+
 for _name, _dt, _kw in _VARIANTS:
-    def _fn(q, k, v, _dt=_dt, _kw=_kw, **kw):
+    def _fn(q, k, v, _dt=_dt, _kw=_kw, _name=_name, **kw):
+        _check_headdim(_name, q)
         return flash_attention(q.astype(_dt), k.astype(_dt), v.astype(_dt),
                                **{**_kw, **kw})
     register("attention", _name, ref=attention_ref, flops=_fa_flops)(_fn)

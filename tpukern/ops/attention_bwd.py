@@ -25,10 +25,11 @@ from jax.experimental.pallas import tpu as pltpu
 from tpukern.core import cdiv, use_interpret
 
 NEG_BIG = -0.7 * 3.4e38
+LOG2E = math.log2(math.e)
 
 
 def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dq_ref, *,
-               scale, causal, block_q, block_k):
+               scale, causal, block_q, block_k, kv_len=None, use_exp2=True):
     qi = pl.program_id(2)
     ki = pl.program_id(3)
 
@@ -37,6 +38,8 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dq_ref, *,
         dq_ref[...] = jnp.zeros_like(dq_ref)
 
     run = (qi + 1) * block_q - 1 >= ki * block_k if causal else True
+    # f32 tier: true-f32 MXU passes (TPU DEFAULT runs f32 dots via bf16)
+    prec = None if use_exp2 else jax.lax.Precision.HIGHEST
 
     @pl.when(run)
     def _():
@@ -44,13 +47,16 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dq_ref, *,
         k = k_ref[0, 0]
         v = v_ref[0, 0]
         do = do_ref[0, 0].astype(jnp.float32)
-        lse = lse_ref[0, 0][:, :1]
+        lse = lse_ref[0, 0][:, :1]  # pre-multiplied by log2(e)
         di = di_ref[0, 0][:, :1]
 
+        # p = exp(s*scale - lse), recomputed in log2 space for the
+        # half-precision tiers (fast native exp2; see ops/attention.py)
         s = jax.lax.dot_general(
             q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
-        p = jnp.exp(s - lse)
+            preferred_element_type=jnp.float32, precision=prec
+        ) * (scale * (LOG2E if use_exp2 else 1.0))
+        p = (jnp.exp2 if use_exp2 else jnp.exp)(s - lse)
         if causal:
             rows = (jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
                     + qi * block_q)
@@ -61,15 +67,23 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dq_ref, *,
         dp = jax.lax.dot_general(
             do, v.astype(jnp.float32),
             dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        ds = (p * (dp - di) * scale).astype(k.dtype)
+            preferred_element_type=jnp.float32, precision=prec)
+        ds = p * (dp - di) * scale
+        if kv_len is not None:
+            # Undefined tail-block K/V columns: mask ds AFTER all
+            # arithmetic (p alone isn't enough — 0 * inf garbage = NaN).
+            cols = (jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+                    + ki * block_k)
+            ds = jnp.where(cols < kv_len, ds, 0.0)
         dq_ref[0, 0] += jax.lax.dot_general(
-            ds, k, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            ds.astype(k.dtype), k,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
 
 
 def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
-                dk_ref, dv_ref, *, scale, causal, block_q, block_k):
+                dk_ref, dv_ref, *, scale, causal, block_q, block_k,
+                q_len=None, use_exp2=True):
     ki = pl.program_id(2)
     qi = pl.program_id(3)
 
@@ -79,6 +93,7 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
         dv_ref[...] = jnp.zeros_like(dv_ref)
 
     run = (qi + 1) * block_q - 1 >= ki * block_k if causal else True
+    prec = None if use_exp2 else jax.lax.Precision.HIGHEST
 
     @pl.when(run)
     def _():
@@ -86,34 +101,43 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
         k = k_ref[0, 0]
         v = v_ref[0, 0]
         do = do_ref[0, 0].astype(jnp.float32)
-        lse = lse_ref[0, 0][:, :1].reshape(1, -1)
+        lse = lse_ref[0, 0][:, :1].reshape(1, -1)  # pre-multiplied by log2e
         di = di_ref[0, 0][:, :1].reshape(1, -1)
 
-        # (bk, bq) = k q^T
+        # (bk, bq) = k q^T, in log2 space for half-precision tiers
         s_t = jax.lax.dot_general(
             k, q, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32) * scale
-        p_t = jnp.exp(s_t - lse)
+            preferred_element_type=jnp.float32, precision=prec
+        ) * (scale * (LOG2E if use_exp2 else 1.0))
+        p_t = (jnp.exp2 if use_exp2 else jnp.exp)(s_t - lse)
+        if causal or q_len is not None:
+            q_cols = (jax.lax.broadcasted_iota(jnp.int32, s_t.shape, 1)
+                      + qi * block_q)
         if causal:
             kv_rows = (jax.lax.broadcasted_iota(jnp.int32, s_t.shape, 0)
                        + ki * block_k)
-            q_cols = (jax.lax.broadcasted_iota(jnp.int32, s_t.shape, 1)
-                      + qi * block_q)
             p_t = jnp.where(kv_rows <= q_cols, p_t, 0.0)
+        if q_len is not None:  # undefined tail-block Q columns
+            p_t = jnp.where(q_cols < q_len, p_t, 0.0)
 
         dv_ref[0, 0] += jax.lax.dot_general(
             p_t.astype(do_ref.dtype), do_ref[0, 0],
             dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            preferred_element_type=jnp.float32, precision=prec)
         # dp^T = v do^T  (bk, bq)
         dp_t = jax.lax.dot_general(
             v.astype(jnp.float32), do,
             dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)
-        ds_t = (p_t * (dp_t - di) * scale).astype(q.dtype)
+            preferred_element_type=jnp.float32, precision=prec)
+        ds_t = p_t * (dp_t - di) * scale
+        if q_len is not None:
+            # mask again AFTER the arithmetic: di/lse carry undefined
+            # padding in the tail Q columns and 0 * inf = NaN
+            ds_t = jnp.where(q_cols < q_len, ds_t, 0.0)
         dk_ref[0, 0] += jax.lax.dot_general(
-            ds_t, q, dimension_numbers=(((1,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32)
+            ds_t.astype(q.dtype), q,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
 
 
 def flash_attention_bwd(q, k, v, o, lse, do, *, causal=False, sm_scale=None,
@@ -129,9 +153,27 @@ def flash_attention_bwd(q, k, v, o, lse, do, *, causal=False, sm_scale=None,
     interp = use_interpret() if interpret is None else interpret
 
     di = jnp.sum(o.astype(jnp.float32) * do.astype(jnp.float32), axis=-1)
+    # half-precision tiers recompute p via exp2; pre-scale lse to log2
+    use_exp2 = jnp.dtype(q.dtype) != jnp.float32
+    if use_exp2:
+        lse = lse * LOG2E
     # 8-wide trailing dim for per-row stats (Mosaic block tiling rule)
     lse8 = jnp.broadcast_to(lse[..., None], (*lse.shape, 8))
     di8 = jnp.broadcast_to(di[..., None], (*di.shape, 8))
+
+    # Zero-pad non-block-multiple sequence lengths (defined tail data) and
+    # mask the padded positions in-kernel (kv_len / q_len): see the
+    # forward's tail handling in ops/attention.py.
+    Sq_p, Skv_p = -(-Sq // bq) * bq, -(-Skv // bk) * bk
+    if Sq_p != Sq:
+        pad4 = ((0, 0), (0, 0), (0, Sq_p - Sq), (0, 0))
+        q, do = jnp.pad(q, pad4), jnp.pad(do, pad4)
+        lse8, di8 = (jnp.pad(t, pad4) for t in (lse8, di8))
+    if Skv_p != Skv:
+        pad4 = ((0, 0), (0, 0), (0, Skv_p - Skv), (0, 0))
+        k, v = jnp.pad(k, pad4), jnp.pad(v, pad4)
+    kv_len = Skv if Skv_p != Skv else None
+    q_len = Sq if Sq_p != Sq else None
 
     def spec4(bs, idx):
         return pl.BlockSpec((1, 1, bs, D), idx, memory_space=pltpu.VMEM)
@@ -143,9 +185,10 @@ def flash_attention_bwd(q, k, v, o, lse, do, *, causal=False, sm_scale=None,
 
     dq = pl.pallas_call(
         functools.partial(_dq_kernel, scale=sm_scale, causal=causal,
-                          block_q=bq, block_k=bk),
-        out_shape=jax.ShapeDtypeStruct((B, H, Sq, D), jnp.float32),
-        grid=(B, H, cdiv(Sq, bq), cdiv(Skv, bk)),
+                          block_q=bq, block_k=bk, kv_len=kv_len,
+                          use_exp2=use_exp2),
+        out_shape=jax.ShapeDtypeStruct((B, H, Sq_p, D), jnp.float32),
+        grid=(B, H, cdiv(Sq_p, bq), cdiv(Skv_p, bk)),
         in_specs=[
             spec4(bq, lambda b, h, i, j: (b, h, i, 0)),   # q
             spec4(bk, lambda b, h, i, j: (b, h, j, 0)),   # k
@@ -163,10 +206,11 @@ def flash_attention_bwd(q, k, v, o, lse, do, *, causal=False, sm_scale=None,
 
     dk, dv = pl.pallas_call(
         functools.partial(_dkv_kernel, scale=sm_scale, causal=causal,
-                          block_q=bq, block_k=bk),
-        out_shape=(jax.ShapeDtypeStruct((B, H, Skv, D), jnp.float32),
-                   jax.ShapeDtypeStruct((B, H, Skv, D), jnp.float32)),
-        grid=(B, H, cdiv(Skv, bk), cdiv(Sq, bq)),
+                          block_q=bq, block_k=bk, q_len=q_len,
+                          use_exp2=use_exp2),
+        out_shape=(jax.ShapeDtypeStruct((B, H, Skv_p, D), jnp.float32),
+                   jax.ShapeDtypeStruct((B, H, Skv_p, D), jnp.float32)),
+        grid=(B, H, cdiv(Skv_p, bk), cdiv(Sq_p, bq)),
         in_specs=[
             spec4(bq, lambda b, h, i, j: (b, h, j, 0)),   # q
             spec4(bk, lambda b, h, i, j: (b, h, i, 0)),   # k
@@ -183,4 +227,5 @@ def flash_attention_bwd(q, k, v, o, lse, do, *, causal=False, sm_scale=None,
         interpret=interp,
     )(q, k, v, do, lse8, di8)
 
-    return dq.astype(q.dtype), dk.astype(k.dtype), dv.astype(v.dtype)
+    return (dq[:, :, :Sq].astype(q.dtype), dk[:, :, :Skv].astype(k.dtype),
+            dv[:, :, :Skv].astype(v.dtype))

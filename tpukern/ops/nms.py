@@ -74,7 +74,10 @@ def nms(boxes, scores, iou_threshold=0.5, interpret=None):
         interpret=use_interpret() if interpret is None else interpret,
     )(b4)
     keep = keep[0, :n].astype(bool)
-    return jnp.where(keep, order, -1)
+    # compact kept indices to the front (matching nms_ref and the
+    # docstring contract), preserving descending-score order
+    pos = jnp.argsort(jnp.logical_not(keep), stable=True)
+    return jnp.where(keep[pos], order[pos], -1)
 
 
 def nms_ref(boxes, scores, iou_threshold=0.5):
