@@ -35,6 +35,20 @@ def get_args():
                    help="sweep N in 1k..8k and D in {64,128,256,512}")
     p.add_argument("--causal", action="store_true")
     p.add_argument("--check", action="store_true")
+    p.add_argument("--check-all", action="store_true",
+                   help="with --check: also dump an 8x8 output slice per "
+                        "variant next to the reference slice "
+                        "(flash_attn_mma.py --check-all analog)")
+    p.add_argument("--no-rand-q", action="store_true",
+                   help="q = all-ones (deterministic triage input)")
+    p.add_argument("--no-rand-k", action="store_true",
+                   help="k = all-ones")
+    p.add_argument("--no-rand-v", action="store_true",
+                   help="v = all-ones")
+    p.add_argument("--range-k", action="store_true",
+                   help="k[..., s, :] = s / N ramp along the sequence "
+                        "(makes attention output position-decodable, "
+                        "flash_attn_mma.py:353-381 analog)")
     p.add_argument("--variants", default="")
     p.add_argument("--iters", type=int, default=10)
     p.add_argument("--seed", type=int, default=42)
@@ -63,9 +77,18 @@ def main():
     rng = np.random.default_rng(args.seed)
     for (B, H, N, D) in cases:
         pretty_print_line(f"B={B} H={H} N={N} D={D} causal={args.causal}")
-        q = rng.standard_normal((B, H, N, D))
-        k = rng.standard_normal((B, H, N, D))
-        v_ = rng.standard_normal((B, H, N, D))
+        q = (np.ones((B, H, N, D)) if args.no_rand_q
+             else rng.standard_normal((B, H, N, D)))
+        if args.range_k:
+            k = np.broadcast_to(
+                (np.arange(N, dtype=np.float64) / N)[None, None, :, None],
+                (B, H, N, D)).copy()
+        elif args.no_rand_k:
+            k = np.ones((B, H, N, D))
+        else:
+            k = rng.standard_normal((B, H, N, D))
+        v_ = (np.ones((B, H, N, D)) if args.no_rand_v
+              else rng.standard_normal((B, H, N, D)))
         flops = 4 * B * H * N * N * D // (2 if args.causal else 1)
         for name, var in sorted(variants.items()):
             if MAX_HEADDIM.get(name, 1024) < D:

@@ -142,3 +142,42 @@ def test_sharded_train_step_sp(setup):
     assert np.isfinite(float(loss))
     ref_loss = loss_fn(params, tokens_s, targets_s, CFG)
     np.testing.assert_allclose(float(loss), float(ref_loss), rtol=2e-2)
+
+
+def test_moe_model_sharded_grads_match_single_device():
+    """MoE-configured flagship model on a (dp, tp, ep) mesh: expert-
+    parallel sharded gradients equal single-device gradients (capacity
+    set high enough that no assignment drops, so routing is identical)."""
+    cfg = Config(vocab=64, d_model=64, n_layers=2, n_heads=4, n_kv_heads=2,
+                 d_ff=128, max_seq=32, n_experts=4, moe_top_k=2,
+                 moe_capacity_factor=8.0)
+    params = init_params(cfg, jax.random.key(2))
+    rng = np.random.default_rng(2)
+    tokens = jnp.asarray(rng.integers(0, cfg.vocab, (4, 32)), jnp.int32)
+    targets = jnp.asarray(rng.integers(0, cfg.vocab, (4, 32)), jnp.int32)
+
+    ref_loss, ref_grads = jax.value_and_grad(loss_fn)(
+        params, tokens, targets, cfg)
+
+    devs = np.array(jax.devices()).reshape(2, 2, 2)
+    mesh = Mesh(devs, axis_names=("dp", "tp", "ep"))
+    specs = param_specs(cfg, ep=True)
+    params_s = jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        params, specs, is_leaf=lambda x: isinstance(x, jnp.ndarray))
+    data_spec = NamedSharding(mesh, P(("dp", "ep"), None))
+    tokens_s = jax.device_put(tokens, data_spec)
+    targets_s = jax.device_put(targets, data_spec)
+
+    loss, grads = jax.jit(make_sharded_grad_fn(cfg, mesh))(
+        params_s, tokens_s, targets_s)
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5)
+
+    flat_ref, _ = jax.tree.flatten(ref_grads)
+    flat_got, _ = jax.tree.flatten(grads)
+    paths = [jax.tree_util.keystr(p)
+             for p, _ in jax.tree_util.tree_flatten_with_path(ref_grads)[0]]
+    for path, r, g in zip(paths, flat_ref, flat_got):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(r), rtol=5e-4, atol=1e-5,
+            err_msg=f"grad mismatch for {path}")

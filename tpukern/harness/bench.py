@@ -70,7 +70,7 @@ def _consume(out):
     return total
 
 
-def device_time(fn, *args, iters_lo=4, iters_hi=20, **kw):
+def device_time(fn, *args, iters_lo=4, iters_hi=20, jitter_kw=None, **kw):
     """Per-call device seconds via an ON-DEVICE fori_loop, two-point slope.
 
     Host-side timing is unreliable on remote-tunneled TPUs (dispatch is
@@ -79,13 +79,36 @@ def device_time(fn, *args, iters_lo=4, iters_hi=20, **kw):
     input by the loop index (prevents hoisting) and folds the full output
     into the carry (prevents dead-code elimination). Two loop lengths cancel
     the fixed RPC/dispatch overhead.
+
+    jitter_kw: name of a scalar keyword the candidate accepts (e.g.
+    matmul's `jitter`). When set, the loop passes i*1e-30 through that
+    keyword INSTEAD of perturbing the first input. XLA fuses an input
+    perturbation into its own ops for free, but it must materialize a
+    perturbed copy (two full HBM passes) in front of an opaque Pallas
+    kernel — which would bill ~10% phantom time to any kernel whose
+    input size is comparable to its compute. Kernels accept the scalar
+    internally (accumulator-init fill) at true zero cost.
     """
     def make(iters):
         @jax.jit
         def looped(*a):
             def body(i, carry):
-                a2 = (_perturb(a[0], i),) + tuple(a[1:])
-                return carry + _consume(fn(*a2, **kw))
+                if jitter_kw is None:
+                    a2 = (_perturb(a[0], i),) + tuple(a[1:])
+                    kw2 = kw
+                else:
+                    a2 = a
+                    kw2 = {**kw,
+                           jitter_kw: i.astype(jnp.float32) * 1e-30}
+                out = fn(*a2, **kw2)
+                # The timed op must MATERIALIZE its declared outputs: the
+                # barrier stops XLA from fusing the carry-reduce into the
+                # op's epilogue and skipping the HBM output write — which
+                # would make fusible XLA baselines look faster than any
+                # opaque kernel with the same contract (the reference's
+                # cuBLAS comparisons also make both sides write C).
+                out = lax.optimization_barrier(out)
+                return carry + _consume(out)
             return lax.fori_loop(0, iters, body, jnp.float32(0.0))
         return looped
 

@@ -1,18 +1,29 @@
-"""Expert-parallel MoE feed-forward block (the "ep" mesh axis).
+"""Expert-parallel MoE feed-forward blocks (the "ep" mesh axis).
 
-The reference has no model layer at all; tpukern's flagship transformer
-covers dp/tp/sp (models/transformer.py). This module adds the remaining
-classic parallelism axis: a top-1 (switch-style) mixture-of-experts FFN
-whose experts are sharded over an "ep" mesh axis.
+The reference has no model layer at all — its distributed story is ten
+0-byte placeholder files naming the collective set, including
+others/pytorch/distributed/test_all_to_all.py. This module makes that
+placeholder real the TPU way: a GShard/Switch-style mixture-of-experts
+FFN whose experts are sharded over an "ep" mesh axis and whose tokens are
+exchanged with lax.all_to_all over ICI.
 
-Design (dense-dispatch expert parallelism): each ep shard owns
-E_local = E / ep_size experts; every shard evaluates its own experts on
-all tokens under the routing mask and the results combine with a psum —
-expert WEIGHTS and expert FLOPs are sharded, token routing needs no
-all_to_all, and there is no capacity-overflow token dropping. Gradients
-flow to the router through the gate probability (straight-through top-1,
-the standard switch-transformer estimator).
+Two dispatch strategies:
+
+- moe_block (dense dispatch): every ep shard evaluates its local experts
+  on ALL tokens under the routing mask and psums. No token dropping and
+  no all_to_all, but FLOPs scale with E_local — a correctness-first tier
+  kept for small expert counts and as the test oracle.
+- moe_block_topk (capacity dispatch, the production tier): top-k routing
+  with a static per-expert capacity C = ceil(k*T*cf/E); tokens are packed
+  into (E, C, d) slots via one-hot dispatch/combine einsums (XLA-friendly
+  static shapes, no scatter), all_to_all'd so each shard runs ONLY its
+  local experts on ONLY the tokens routed to them, then all_to_all'd back
+  and combined with the gate weights. Expert FLOPs scale with routed
+  capacity, not with E_local x T. Over-capacity tokens are dropped
+  (standard switch-transformer semantics).
 """
+
+import math
 
 import jax
 import jax.numpy as jnp
@@ -41,8 +52,9 @@ def moe_param_specs():
 
 
 def moe_block(x, params, ep_axis=None, ep_size=1):
-    """x (T, d) -> (T, d). params' w1/w2 hold the LOCAL expert slice when
-    ep_axis is set (E_local = E_total / ep_size)."""
+    """Dense-dispatch tier: x (T, d) -> (T, d). params' w1/w2 hold the
+    LOCAL expert slice when ep_axis is set (E_local = E_total / ep_size).
+    Top-1 (switch) routing, no capacity limit, no token dropping."""
     T, d = x.shape
     e_local = params["w1"].shape[0]
     e_total = e_local * ep_size
@@ -63,6 +75,90 @@ def moe_block(x, params, ep_axis=None, ep_size=1):
     if ep_axis is not None:
         out = lax.psum(out, ep_axis)
     return out
+
+
+def expert_capacity(n_tokens, n_experts, k=1, capacity_factor=1.25):
+    """Static per-expert slot count: C = ceil(k * T * cf / E), rounded up
+    to a sublane multiple so the (C, d) expert operand tiles cleanly."""
+    c = math.ceil(k * n_tokens * capacity_factor / n_experts)
+    return max(8, -(-c // 8) * 8)
+
+
+def moe_dispatch(x, params, *, k=1, capacity_factor=1.25, e_total=None,
+                 renorm=True):
+    """Route x (T, d) into capacity slots.
+
+    Returns (x_slots (E, C, d), combine (T, E, C) f32): x_slots[e, c] is
+    the c-th token accepted by expert e (zeros for empty slots); combine
+    carries the gate weight of each (token, expert, slot) assignment and
+    is zero for dropped (over-capacity) assignments.
+    """
+    T, d = x.shape
+    E = e_total or params["w1"].shape[0]
+    C = expert_capacity(T, E, k=k, capacity_factor=capacity_factor)
+
+    logits = jnp.dot(x, params["router"][:, :E])
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    topk_p, topk_e = lax.top_k(probs, k)                     # (T, k)
+    if renorm and k > 1:
+        topk_p = topk_p / jnp.sum(topk_p, axis=-1, keepdims=True)
+
+    combine = jnp.zeros((T, E, C), jnp.float32)
+    counts = jnp.zeros((1, E), jnp.float32)
+    for i in range(k):  # k is tiny and static
+        m = jax.nn.one_hot(topk_e[:, i], E, dtype=jnp.float32)  # (T, E)
+        # zero-based queue position of each token within its expert,
+        # earlier choices (previous i rounds) have priority via `counts`
+        pos = jnp.cumsum(m, axis=0) - m + counts
+        pos_i = jnp.sum(pos * m, axis=1)                        # (T,)
+        counts = counts + jnp.sum(m, axis=0, keepdims=True)
+        keep = (pos_i < C).astype(jnp.float32)
+        g = topk_p[:, i] * keep                                 # (T,)
+        slot = jax.nn.one_hot(pos_i.astype(jnp.int32), C,
+                              dtype=jnp.float32)                # (T, C)
+        combine = combine + g[:, None, None] * m[:, :, None] * slot[:, None, :]
+
+    dispatch = (combine > 0).astype(x.dtype)                    # (T, E, C)
+    x_slots = jnp.einsum("tec,td->ecd", dispatch, x)
+    return x_slots, combine
+
+
+def moe_block_topk(x, params, *, k=1, capacity_factor=1.25, ep_axis=None,
+                   renorm=True):
+    """Capacity-dispatch expert parallelism: x (T_local, d) -> (T_local, d).
+
+    Under shard_map the token dim must be sharded over ep_axis (each ep
+    member routes its own tokens); params' w1/w2 hold the local expert
+    slice. The two all_to_all calls ride the ICI mesh axis.
+    """
+    e_local = params["w1"].shape[0]
+    ep = lax.axis_size(ep_axis) if ep_axis else 1
+    E = e_local * ep
+
+    x_slots, combine = moe_dispatch(
+        x, params, k=k, capacity_factor=capacity_factor, e_total=E,
+        renorm=renorm)                                   # (E, C, d)
+
+    if ep_axis is not None:
+        # slots for expert-group j go to ep member j; each member receives
+        # its own experts' slots from every member: (E_local, ep*C, d)
+        x_slots = lax.all_to_all(x_slots, ep_axis, split_axis=0,
+                                 concat_axis=1, tiled=True)
+
+    ys = []
+    for e in range(e_local):  # static, small: the hot path stays on the
+        h = jax.nn.gelu(matmul_t(x_slots[e], params["w1"][e]))  # library's
+        ys.append(matmul_t(h, params["w2"][e]))                 # GEMM kernel
+    y_slots = jnp.stack(ys)
+
+    if ep_axis is not None:
+        # route results back to the tokens' home shards: (E, C, d)
+        y_slots = lax.all_to_all(y_slots, ep_axis, split_axis=1,
+                                 concat_axis=0, tiled=True)
+
+    out = jnp.einsum("tec,ecd->td", combine,
+                     y_slots.astype(jnp.float32))
+    return out.astype(x.dtype)
 
 
 def aux_load_balance_loss(x, params, ep_size=1):

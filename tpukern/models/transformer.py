@@ -48,6 +48,12 @@ class Config:
     d_ff: int = 1024
     max_seq: int = 256
     param_dtype: Any = jnp.float32
+    # mixture-of-experts FFN (models/moe.py): n_experts == 0 keeps the
+    # dense MLP; > 0 replaces every layer's MLP with a top-k routed,
+    # capacity-dispatched MoE whose experts shard over an "ep" mesh axis
+    n_experts: int = 0
+    moe_top_k: int = 1
+    moe_capacity_factor: float = 2.0
 
     @property
     def head_dim(self):
@@ -64,16 +70,22 @@ def init_params(cfg: Config, key):
     Dh = cfg.head_dim
     layers = []
     for _ in range(cfg.n_layers):
-        layers.append(dict(
+        layer = dict(
             ln1=jnp.ones((cfg.d_model,), dt),
             wq=w((cfg.d_model, cfg.n_heads * Dh)),
             wk=w((cfg.d_model, cfg.n_kv_heads * Dh)),
             wv=w((cfg.d_model, cfg.n_kv_heads * Dh)),
             wo=w((cfg.n_heads * Dh, cfg.d_model)),
             ln2=jnp.ones((cfg.d_model,), dt),
-            w1=w((cfg.d_model, cfg.d_ff)),
-            w2=w((cfg.d_ff, cfg.d_model)),
-        ))
+        )
+        if cfg.n_experts:
+            from tpukern.models.moe import init_moe_params
+            layer["moe"] = init_moe_params(
+                next(keys), cfg.d_model, cfg.d_ff, cfg.n_experts, dtype=dt)
+        else:
+            layer.update(w1=w((cfg.d_model, cfg.d_ff)),
+                         w2=w((cfg.d_ff, cfg.d_model)))
+        layers.append(layer)
     return dict(
         embed=w((cfg.vocab, cfg.d_model)),
         layers=layers,
@@ -82,66 +94,35 @@ def init_params(cfg: Config, key):
     )
 
 
-def param_specs(cfg: Config):
-    """PartitionSpecs for the ("dp", "tp") mesh: Megatron column/row splits."""
+def param_specs(cfg: Config, ep: bool = False):
+    """PartitionSpecs for the ("dp", "tp"[, "sp"][, "ep"]) mesh: Megatron
+    column/row splits; MoE experts shard over "ep" when the mesh has it."""
     layer = dict(
         ln1=P(), ln2=P(),
         wq=P(None, "tp"), wk=P(None, "tp"), wv=P(None, "tp"),
         wo=P("tp", None),
-        w1=P(None, "tp"), w2=P("tp", None),
     )
+    if cfg.n_experts:
+        e = "ep" if ep else None
+        layer["moe"] = dict(router=P(), w1=P(e, None, None),
+                            w2=P(e, None, None))
+    else:
+        layer.update(w1=P(None, "tp"), w2=P("tp", None))
     return dict(embed=P(), layers=[dict(layer) for _ in range(cfg.n_layers)],
                 lnf=P(), head=P())
 
 
-# --- tp gradient semantics under shard_map(check_vma=False) ---
-#
-# With replication tracking off, the transpose of lax.psum is psum, so the
-# (tp-replicated) cotangent flowing into a row-split output psum picks up a
-# spurious xTP factor that contaminates every gradient upstream inside the
-# branch — and for >=2 layers the per-device cotangents of the residual
-# stream become outright wrong (not a fixable constant factor). These two
-# custom-VJP markers implement the correct replication semantics manually,
-# exactly what check_vma=True's pbroadcast/pvary pair would do:
-#
-#   _psum_invariant: forward psum; backward identity (the output cotangent
-#       is tp-replicated, so pbroadcast — not psum — is the true transpose).
-#   _enter_varying:  forward identity at the boundary where a tp-replicated
-#       activation enters tp-sharded compute; backward psums the per-shard
-#       cotangent contributions (the pvary transpose).
-#
-# With both in place every gradient is exact on every device at any depth.
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
-def _psum_invariant(x, axis):
-    return lax.psum(x, axis)
-
-
-def _psum_inv_fwd(x, axis):
-    return lax.psum(x, axis), None
-
-
-def _psum_inv_bwd(axis, _, g):
-    return (g,)
-
-
-_psum_invariant.defvjp(_psum_inv_fwd, _psum_inv_bwd)
-
-
-@functools.partial(jax.custom_vjp, nondiff_argnums=(1,))
-def _enter_varying(x, axis):
-    return x
-
-
-def _ev_fwd(x, axis):
-    return x, None
-
-
-def _ev_bwd(axis, _, g):
-    return (lax.psum(g, axis),)
-
-
-_enter_varying.defvjp(_ev_fwd, _ev_bwd)
+# tp gradient semantics under shard_map(check_vma=False): with replication
+# tracking off, the transpose of lax.psum is psum, so the (tp-replicated)
+# cotangent flowing into a row-split output psum would pick up a spurious
+# xTP factor contaminating every upstream gradient. The two custom-VJP
+# markers in parallel/spmd_grads implement the semantics check_vma=True's
+# pbroadcast/pvary pair would give; with both in place every gradient is
+# exact on every device at any depth.
+from tpukern.parallel.spmd_grads import (  # noqa: E402
+    enter_varying as _enter_varying,
+    psum_invariant as _psum_invariant,
+)
 
 
 def _attn_block(h, lp, cfg: Config, tp_size: int, tp_axis, sp_axis=None):
@@ -198,8 +179,19 @@ def _mlp_block(h, lp, tp_axis):
     return y.reshape(B, S, d)
 
 
+def _moe_block(h, lp, cfg: Config, ep_axis):
+    """Routed MoE FFN (models/moe.py): each shard routes its local tokens;
+    experts are ep-sharded and tokens move via all_to_all."""
+    from tpukern.models.moe import moe_block_topk
+    B, S, d = h.shape
+    y = moe_block_topk(h.reshape(B * S, d), lp["moe"], k=cfg.moe_top_k,
+                       capacity_factor=cfg.moe_capacity_factor,
+                       ep_axis=ep_axis)
+    return y.reshape(B, S, d)
+
+
 def forward(params, tokens, cfg: Config, tp_size: int = 1, tp_axis=None,
-            sp_axis=None):
+            sp_axis=None, ep_axis=None):
     """tokens (B, S_local) int32 -> logits (B, S_local, vocab) f32.
     With sp_axis, S_local is the per-shard slice of the sequence."""
     B, S = tokens.shape
@@ -208,15 +200,18 @@ def forward(params, tokens, cfg: Config, tp_size: int = 1, tp_axis=None,
         hn = rms_norm_t(h.reshape(B * S, -1), lp["ln1"]).reshape(h.shape)
         h = h + _attn_block(hn, lp, cfg, tp_size, tp_axis, sp_axis)
         hn = rms_norm_t(h.reshape(B * S, -1), lp["ln2"]).reshape(h.shape)
-        h = h + _mlp_block(hn, lp, tp_axis)
+        if cfg.n_experts:
+            h = h + _moe_block(hn, lp, cfg, ep_axis)
+        else:
+            h = h + _mlp_block(hn, lp, tp_axis)
     hn = rms_norm_t(h.reshape(B * S, -1), params["lnf"])
     logits = matmul_t(hn, params["head"]).reshape(B, S, cfg.vocab)
     return logits.astype(jnp.float32)
 
 
 def loss_fn(params, tokens, targets, cfg: Config, tp_size=1, tp_axis=None,
-            sp_axis=None):
-    logits = forward(params, tokens, cfg, tp_size, tp_axis, sp_axis)
+            sp_axis=None, ep_axis=None):
+    logits = forward(params, tokens, cfg, tp_size, tp_axis, sp_axis, ep_axis)
     logp = jax.nn.log_softmax(logits, axis=-1)
     nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)
     return jnp.mean(nll)
@@ -240,24 +235,44 @@ def make_sharded_grad_fn(cfg: Config, mesh: Mesh):
     of loss_fn on the full (unsharded) batch."""
     tp_size = mesh.shape["tp"]
     has_sp = "sp" in mesh.axis_names
+    has_ep = "ep" in mesh.axis_names
     sp_axis = "sp" if has_sp else None
-    all_axes = ("dp", "tp") + (("sp",) if has_sp else ())
-    p_specs = param_specs(cfg)
+    ep_axis = "ep" if has_ep else None
+    all_axes = ("dp", "tp") + (("sp",) if has_sp else ()) \
+        + (("ep",) if has_ep else ())
+    p_specs = param_specs(cfg, ep=has_ep)
     flat_specs = jax.tree.leaves(p_specs, is_leaf=lambda x: isinstance(x, P))
+
+    def _spec_axes(s):
+        return {a for part in s if part is not None
+                for a in ((part,) if isinstance(part, str) else part)}
 
     def local_grads(params, tokens, targets):
         loss, grads = jax.value_and_grad(loss_fn)(
-            params, tokens, targets, cfg, tp_size, "tp", sp_axis)
+            params, tokens, targets, cfg, tp_size, "tp", sp_axis, ep_axis)
         flat_g, treedef = jax.tree.flatten(grads)
-        flat_g = [
-            lax.pmean(g, tuple(a for a in all_axes if a not in s))
-            for g, s in zip(flat_g, flat_specs)
-        ]
-        grads = jax.tree.unflatten(treedef, flat_g)
+        fixed = []
+        for g, s in zip(flat_g, flat_specs):
+            axes = _spec_axes(s)
+            g = lax.pmean(g, tuple(a for a in all_axes if a not in axes))
+            if has_ep and "ep" in axes:
+                # ep-sharded (expert) params: the all_to_all transpose
+                # already SUMS every ep member's token contributions into
+                # the local expert grad, but the global loss is the MEAN
+                # over data shards — divide by ep (verified exact vs
+                # single-device grads in tests/test_model.py)
+                g = g / mesh.shape["ep"]
+            fixed.append(g)
+        grads = jax.tree.unflatten(treedef, fixed)
         loss = lax.pmean(loss, all_axes)
         return loss, grads
 
-    data_spec = P("dp", "sp") if has_sp else P("dp", None)
+    # with an ep axis the batch shards over ("dp","ep") jointly: each ep
+    # member routes DISTINCT tokens (ep acts as extra data parallelism
+    # outside the MoE block; inside it, experts shard and tokens travel
+    # by all_to_all)
+    bdim = ("dp", "ep") if has_ep else "dp"
+    data_spec = P(bdim, "sp") if has_sp else P(bdim, None)
     return shard_map(
         local_grads, mesh=mesh,
         in_specs=(p_specs, data_spec, data_spec),

