@@ -34,9 +34,15 @@ from tpukern.core.registry import register
 NEG_BIG = -0.7 * 3.4e38
 
 
-def _decode_kernel(lengths_ref, tables_ref, q_ref, k_hbm, v_hbm,
-                   o_ref, k_buf, v_buf, m_s, l_s, acc_s, sems,
-                   *, page_size, pages_per_block, mask_value):
+def _decode_kernel(lengths_ref, tables_ref, *refs,
+                   page_size, pages_per_block, mask_value,
+                   quantized=False):
+    if quantized:
+        (q_ref, k_hbm, v_hbm, ks_hbm, vs_hbm, o_ref, k_buf, v_buf,
+         ks_buf, vs_buf, m_s, l_s, acc_s, sems) = refs
+    else:
+        (q_ref, k_hbm, v_hbm, o_ref, k_buf, v_buf,
+         m_s, l_s, acc_s, sems) = refs
     b = pl.program_id(0)
     h = pl.program_id(1)
     blk = pl.program_id(2)
@@ -54,7 +60,9 @@ def _decode_kernel(lengths_ref, tables_ref, q_ref, k_hbm, v_hbm,
 
     @pl.when(blk * bk < length)
     def _():
-        # fetch this block's pages (all DMAs in flight together)
+        # fetch this block's pages (all DMAs in flight together); int8
+        # pages halve the decode DMA traffic, their per-token scales ride
+        # along as (page,) vectors
         copies = []
         for p in range(pages_per_block):
             page = tables_ref[b * pages_per_seq + blk * pages_per_block + p]
@@ -62,13 +70,26 @@ def _decode_kernel(lengths_ref, tables_ref, q_ref, k_hbm, v_hbm,
                 k_hbm.at[h, page], k_buf.at[p], sems.at[0, p]))
             copies.append(pltpu.make_async_copy(
                 v_hbm.at[h, page], v_buf.at[p], sems.at[1, p]))
+            if quantized:
+                copies.append(pltpu.make_async_copy(
+                    ks_hbm.at[h, page], ks_buf.at[p], sems.at[2, p]))
+                copies.append(pltpu.make_async_copy(
+                    vs_hbm.at[h, page], vs_buf.at[p], sems.at[3, p]))
         for c in copies:
             c.start()
         for c in copies:
             c.wait()
 
         q = q_ref[0, 0]                                   # (group, D)
-        k = k_buf[...].reshape(bk, D)
+        if quantized:
+            # dequantize in VMEM: int8 value x per-token f32 scale.
+            # Broadcast in 3-D (scales on sublanes) BEFORE merging the
+            # page dims — Mosaic can't shape-cast a lane vector into a
+            # (bk, 1) sublane column.
+            k = (k_buf[...].astype(jnp.float32)
+                 * ks_buf[...][..., None]).astype(q.dtype).reshape(bk, D)
+        else:
+            k = k_buf[...].reshape(bk, D)
         s = jax.lax.dot_general(
             q, k, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)           # (group, bk)
@@ -84,7 +105,11 @@ def _decode_kernel(lengths_ref, tables_ref, q_ref, k_hbm, v_hbm,
         p = jnp.exp(s - m_next)
         l_s[:, :1] = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
         m_s[:, :1] = m_next
-        v = v_buf[...].reshape(bk, D)
+        if quantized:
+            v = (v_buf[...].astype(jnp.float32)
+                 * vs_buf[...][..., None]).astype(q.dtype).reshape(bk, D)
+        else:
+            v = v_buf[...].reshape(bk, D)
         acc_s[...] = (acc_s[...] * alpha
                       + jax.lax.dot_general(
                           p.astype(v.dtype), v,
@@ -158,6 +183,81 @@ def paged_attention(q, k_pages, v_pages, lengths, page_table,
     return out.reshape(B, Hq, D)
 
 
+def quantize_pages(pages):
+    """Quantize a (Hkv, P, page, D) KV page pool to int8 with per-token
+    scales (Hkv, P, page) — the KV-cache layout for paged_attention with
+    quantized=True. Uses the library's per-row int8 kernel."""
+    from tpukern.ops.quant import quantize_int8
+    Hkv, P, page_size, D = pages.shape
+    vals, scales = quantize_int8(pages.reshape(Hkv * P * page_size, D))
+    return (vals.reshape(Hkv, P, page_size, D),
+            scales.reshape(Hkv, P, page_size))
+
+
+def paged_attention_quantized(q, k_pages, k_scales, v_pages, v_scales,
+                              lengths, page_table, *, pages_per_block=4,
+                              interpret=None):
+    """Decode attention against an int8-quantized paged KV cache: pages
+    are int8 (half the DMA traffic of bf16), dequantized in VMEM with
+    their per-token scales right after the page fetch.
+
+    k_pages/v_pages: (Hkv, P, page, D) int8; k_scales/v_scales:
+    (Hkv, P, page) f32. Other args as paged_attention.
+    """
+    B, Hq, D = q.shape
+    Hkv, P, page_size, _ = k_pages.shape
+    pages_per_seq = page_table.shape[1]
+    assert Hq % Hkv == 0
+    group = Hq // Hkv
+    assert pages_per_seq % pages_per_block == 0
+    n_blk = pages_per_seq // pages_per_block
+
+    q4 = q.reshape(B, Hkv, group, D)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, Hkv, n_blk),
+        in_specs=[
+            pl.BlockSpec((1, 1, group, D), lambda b, h, i, *_: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),   # int8 K pages in HBM
+            pl.BlockSpec(memory_space=pl.ANY),   # int8 V pages in HBM
+            pl.BlockSpec(memory_space=pl.ANY),   # K scales in HBM
+            pl.BlockSpec(memory_space=pl.ANY),   # V scales in HBM
+        ],
+        out_specs=pl.BlockSpec((1, 1, group, D),
+                               lambda b, h, i, *_: (b, h, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((pages_per_block, page_size, D), jnp.int8),
+            pltpu.VMEM((pages_per_block, page_size, D), jnp.int8),
+            pltpu.VMEM((pages_per_block, page_size), jnp.float32),
+            pltpu.VMEM((pages_per_block, page_size), jnp.float32),
+            pltpu.VMEM((group, 128), jnp.float32),
+            pltpu.VMEM((group, 128), jnp.float32),
+            pltpu.VMEM((group, D), jnp.float32),
+            pltpu.SemaphoreType.DMA((4, pages_per_block)),
+        ],
+    )
+
+    kernel = functools.partial(
+        _decode_kernel, page_size=page_size,
+        pages_per_block=pages_per_block, mask_value=NEG_BIG,
+        quantized=True)
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, Hkv, group, D), q.dtype),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary")),
+        interpret=use_interpret() if interpret is None else interpret,
+    )(lengths.astype(jnp.int32), page_table.reshape(-1).astype(jnp.int32),
+      q4, k_pages, v_pages, k_scales.astype(jnp.float32),
+      v_scales.astype(jnp.float32))
+    return out.reshape(B, Hq, D)
+
+
 def paged_attention_ref(q, k_pages, v_pages, lengths, page_table):
     """XLA gather reference."""
     B, Hq, D = q.shape
@@ -186,3 +286,14 @@ register("paged_attention", "paged_decode_bf16", ref=paged_attention_ref)(
     lambda q, k, v, l, t, **kw: paged_attention(
         q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
         v.astype(jnp.bfloat16), l, t, **kw))
+
+
+def _paged_int8(q, k, v, lengths, table, **kw):
+    kq, ks = quantize_pages(k)
+    vq, vs = quantize_pages(v)
+    return paged_attention_quantized(
+        q.astype(jnp.bfloat16), kq, ks, vq, vs, lengths, table, **kw)
+
+
+register("paged_attention", "paged_decode_int8kv",
+         ref=paged_attention_ref)(_paged_int8)
