@@ -28,6 +28,10 @@ def get_args():
     p.add_argument("--mnk", type=int, default=4096)
     p.add_argument("--sweep", action="store_true",
                    help="sweep M=N=K over 1024..8192")
+    p.add_argument("--sweep-fine", action="store_true",
+                   help="fine sweep M=N=K 256..8192 step 256: best tpukern "
+                        "config vs XLA, TFLOPS curve (the reference's "
+                        "256-step MNK sweep, hgemm.py:277-281)")
     p.add_argument("--variants", default="",
                    help="substring filter on variant names")
     p.add_argument("--check", action="store_true")
@@ -40,9 +44,67 @@ def get_args():
     return p.parse_args()
 
 
+def sweep_fine(args):
+    """256-step shape sweep, best-config tpukern vs XLA, optional plot.
+    Uses the jitter-scalar timing mode (see harness.bench.device_time) so
+    neither side pays a materialized perturbation pass."""
+    from tpukern.harness.bench import device_time
+    from tpukern.ops.matmul import matmul
+
+    rng = np.random.default_rng(0)
+    sizes = list(range(256, 8192 + 1, 256))
+    rows = []
+    for s in sizes:
+        a = jnp.asarray(rng.standard_normal((s, s)), jnp.bfloat16)
+        b = jnp.asarray(rng.standard_normal((s, s)), jnp.bfloat16)
+        fl = 2 * s ** 3
+
+        def pk(a, b, **kw):
+            return matmul(a, b, block_m=1024, block_n=1024, block_k=512,
+                          **kw)
+
+        def xla(a, b):
+            return jnp.dot(a, b, preferred_element_type=jnp.float32
+                           ).astype(jnp.bfloat16)
+
+        try:
+            tp = fl / device_time(pk, a, b, iters_lo=8, iters_hi=40,
+                                  jitter_kw="jitter") / 1e12
+        except Exception as e:
+            print(f"# {s}: tpukern failed {type(e).__name__}", flush=True)
+            tp = float("nan")
+        tx = fl / device_time(xla, a, b, iters_lo=8, iters_hi=40) / 1e12
+        rows.append((s, tp, tx))
+        print(f"MNK={s:<6} tpukern {tp:7.1f}  xla {tx:7.1f}  "
+              f"ratio {100 * tp / tx:6.1f}%", flush=True)
+
+    if args.plot:
+        import os
+        os.makedirs(os.path.dirname(args.plot) or ".", exist_ok=True)
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        plt.figure(figsize=(10, 5))
+        plt.plot([r[0] for r in rows], [r[1] for r in rows],
+                 label="tpukern scratch_bf16out (1024,1024,512)",
+                 marker="o", ms=3)
+        plt.plot([r[0] for r in rows], [r[2] for r in rows],
+                 label="XLA dot_general bf16-out", marker="s", ms=3)
+        plt.xlabel("M = N = K")
+        plt.ylabel("TFLOPS")
+        plt.title("BF16 GEMM, TPU v5e: tpukern vs XLA (256-step sweep)")
+        plt.legend()
+        plt.grid(alpha=0.3)
+        plt.savefig(args.plot, dpi=120, bbox_inches="tight")
+        print(f"saved {args.plot}")
+
+
 def main():
     import contextlib
     args = get_args()
+    if args.sweep_fine:
+        sweep_fine(args)
+        return
     stack = contextlib.ExitStack()
     if args.trace:
         from tpukern.harness.profiling import trace

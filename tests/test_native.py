@@ -29,3 +29,17 @@ def test_native_cross_checks_pallas(rng):
     mx, mean = native.max_mean_diff(out, ref)
     assert mx < 1e-3 and mean < 1e-5
     assert native.allclose(out, ref, rtol=1e-4, atol=1e-4)
+
+
+def test_perf_gemm_bin():
+    """The standalone C++ timing/check bin builds and self-validates
+    (the reference's makefile .bin targets, hgemm/utils/utils.h:7-97)."""
+    import pathlib
+    import subprocess
+    nd = pathlib.Path(__file__).resolve().parent.parent / "native"
+    subprocess.run(["make", "-C", str(nd), "perf_gemm.bin"], check=True,
+                   capture_output=True)
+    r = subprocess.run([str(nd / "perf_gemm.bin"), "256", "1"],
+                       capture_output=True, text=True, timeout=300)
+    assert r.returncode == 0, r.stderr
+    assert "OK" in r.stdout

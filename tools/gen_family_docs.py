@@ -1,0 +1,179 @@
+"""Generate per-family docs with frozen sample logs (reference style:
+every kernel dir has a README whose expected output is committed, e.g.
+kernels/layer-norm/README.md:27-40).
+
+Runs the bench drivers on the ambient device, captures their output, and
+writes docs/families/<family>.md with: the op module's design summary,
+the registered variant list, and the frozen log a user should be able to
+reproduce.
+
+Usage: python tools/gen_family_docs.py [--out docs/families]
+"""
+
+import argparse
+import importlib
+import re
+import subprocess
+import sys
+
+sys.path.insert(0, ".")
+
+import tpukern.ops  # noqa: F401
+import tpukern.models  # noqa: F401
+from tpukern.core import registry
+
+# family -> op module (for the design-summary docstring)
+MODULES = {
+    "elementwise": "tpukern.ops.elementwise",
+    "relu": "tpukern.ops.activations",
+    "elu": "tpukern.ops.activations",
+    "gelu": "tpukern.ops.activations",
+    "swish": "tpukern.ops.activations",
+    "sigmoid": "tpukern.ops.activations",
+    "hardswish": "tpukern.ops.activations",
+    "hardshrink": "tpukern.ops.activations",
+    "softmax": "tpukern.ops.softmax",
+    "layer_norm": "tpukern.ops.layernorm",
+    "rms_norm": "tpukern.ops.rmsnorm",
+    "rope": "tpukern.ops.rope",
+    "reduce": "tpukern.ops.reduce",
+    "dot_product": "tpukern.ops.dot_product",
+    "transpose": "tpukern.ops.transpose",
+    "embedding": "tpukern.ops.embedding",
+    "histogram": "tpukern.ops.histogram",
+    "gemv": "tpukern.ops.gemv",
+    "matmul": "tpukern.ops.matmul",
+    "attention": "tpukern.ops.attention",
+    "paged_attention": "tpukern.ops.paged_attention",
+    "nms": "tpukern.ops.nms",
+    "quant": "tpukern.ops.quant",
+}
+
+# command whose output feeds a family's log; several families can share
+# one command (its output is split by the pretty_print_line sections)
+OPS = [sys.executable, "bench/ops.py", "--check", "--iters", "5",
+       "--S", "1024", "--K", "1024"]
+COMMANDS = {
+    **{f: OPS + ["--family", f]
+       for f in ("elementwise", "relu", "elu", "gelu", "swish", "sigmoid",
+                 "hardswish", "hardshrink", "softmax", "layer_norm",
+                 "rms_norm", "rope")},
+    "reduce": OPS + ["--family", "reduce"],
+    "dot_product": OPS + ["--family", "reduce"],
+    "transpose": OPS + ["--family", "misc"],
+    "embedding": OPS + ["--family", "misc"],
+    "histogram": OPS + ["--family", "misc"],
+    "gemv": OPS + ["--family", "misc"],
+    "matmul": [sys.executable, "bench/hgemm.py", "--mnk", "1024",
+               "--check", "--iters", "4"],
+    "attention": [sys.executable, "bench/flash_attn.py", "--N", "1024",
+                  "--check", "--iters", "4"],
+    "nms": [sys.executable, "tools/family_probe.py", "nms"],
+    "quant": [sys.executable, "tools/family_probe.py", "quant"],
+    "paged_attention": [sys.executable, "tools/family_probe.py",
+                        "paged_attention"],
+}
+
+# which log lines belong to a family when a command covers several
+SECTION_FILTER = {
+    "reduce": lambda ln: ln.startswith("sum_") or "reduce" in ln,
+    "dot_product": lambda ln: ln.startswith("dot_") or "dot_product" in ln,
+    "transpose": None,   # resolved by section headers
+    "embedding": None,
+    "histogram": None,
+    "gemv": None,
+}
+SECTION_HEADER = {
+    "transpose": "transpose",
+    "embedding": "embedding",
+    "histogram": "histogram",
+    "gemv": "gemv",
+}
+
+
+def run(cmd, cache={}):
+    key = tuple(cmd)
+    if key not in cache:
+        print(f"$ {' '.join(cmd)}", flush=True)
+        r = subprocess.run(cmd, capture_output=True, text=True, timeout=3600)
+        out = "\n".join(ln for ln in (r.stdout + r.stderr).splitlines()
+                        if "WARNING" not in ln and "experimental" not in ln)
+        cache[key] = out
+    return cache[key]
+
+
+def extract(family, log):
+    lines = [ln.rstrip() for ln in log.splitlines() if ln.strip()]
+    if family in SECTION_HEADER:
+        want = SECTION_HEADER[family]
+        out, active = [], False
+        for ln in lines:
+            if set(ln) <= set("- ") and ln.count("-") > 20:
+                continue
+            if ln.startswith("---") or (" " in ln and ln.strip("- ")
+                                        and ln.startswith("-")):
+                active = False
+            hdr = re.match(r"^-+ (.+?) -+$", ln)
+            if hdr:
+                active = hdr.group(1).split(" ")[0].startswith(want)
+                if active:
+                    out.append(hdr.group(1))
+                continue
+            if active:
+                out.append(ln)
+        return "\n".join(out)
+    filt = SECTION_FILTER.get(family)
+    if filt:
+        return "\n".join(ln for ln in lines if filt(ln))
+    return "\n".join(ln for ln in lines
+                     if not re.match(r"^-+ .+ -+$", ln) or True)[:8000]
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--out", default="docs/families")
+    ap.add_argument("--families", default="")
+    args = ap.parse_args()
+    import os
+    os.makedirs(args.out, exist_ok=True)
+
+    import jax
+    device = jax.devices()[0].device_kind
+
+    fams = (args.families.split(",") if args.families
+            else sorted(COMMANDS))
+    for family in fams:
+        variants = registry.variants(family)
+        mod = importlib.import_module(MODULES[family])
+        summary = (mod.__doc__ or "").strip()
+        log = extract(family, run(COMMANDS[family]))
+        baseline = [n for n, v in variants.items() if "baseline" in v.tags]
+        rows = "\n".join(
+            f"| `{n}` | {'baseline' if n in baseline else 'pallas kernel'} |"
+            for n in sorted(variants))
+        doc = f"""# {family}
+
+{summary}
+
+## Variants ({len(variants)})
+
+| name | kind |
+|---|---|
+{rows}
+
+## Sample log ({device})
+
+Reproduce with: `{' '.join(COMMANDS[family][1:])}`
+
+```
+{log}
+```
+"""
+        path = os.path.join(args.out, f"{family}.md")
+        with open(path, "w") as f:
+            f.write(doc)
+        print(f"wrote {path}", flush=True)
+
+
+if __name__ == "__main__":
+    main()

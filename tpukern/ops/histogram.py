@@ -4,12 +4,13 @@ Reference: kernels/histogram/histogram.cu:18-26 — histogram_{i32,i32x4} via
 per-thread `atomicAdd` into global bins.
 
 TPU design: no cross-block atomics exist. The rebuild streams value blocks
-through a sequential grid dimension while a per-bin-chunk accumulator lives
-in VMEM scratch; counts come from a vectorized compare-and-sum (each value
-block is compared against a 128-bin lane vector — the VPU equivalent of 128
-parallel atomic counters). Grid = (bin chunks, value blocks), value axis
-innermost so the scratch accumulates across all values before moving to the
-next bin chunk.
+ONCE through a sequential grid dimension while the whole histogram lives as
+a (bin_chunks, 128) accumulator in the VMEM output block; counts come from
+a vectorized compare-and-sum (each value block is compared against a
+128-bin lane vector per chunk — the VPU equivalent of 128 parallel atomic
+counters). Round 1 re-read the value stream once per 128-bin chunk
+(O(N * bins/128) HBM traffic); the multi-chunk accumulator makes it a
+single O(N) pass regardless of bin count.
 """
 
 import jax
@@ -32,46 +33,54 @@ def _padded_rows_fill(x, block_rows, fill):
 
 
 def histogram(x, num_bins, block_rows=32, interpret=None):
-    """Count occurrences of each value in [0, num_bins) in int32 array x."""
+    """Count occurrences of each value in [0, num_bins) in int32 array x.
+
+    Single pass over the values: grid = (value blocks,), accumulating
+    into the full (chunk_rows, 128) histogram held in the output block
+    (accumulate-in-output, the ops/matmul.py design).
+    """
     x2 = _padded_rows_fill(x.astype(jnp.int32), block_rows, -1)  # -1 never counted
     n_vblocks = x2.shape[0] // block_rows
-    bins_p = round_up(num_bins, LANES)
-    n_bchunks = bins_p // LANES
+    n_bchunks = cdiv(num_bins, LANES)
+    chunk_rows = round_up(n_bchunks, 8)  # min i32 tile is (8, 128)
 
-    def kernel(x_ref, o_ref, acc_ref):
-        j = pl.program_id(0)   # bin chunk
-        i = pl.program_id(1)   # value block
+    def kernel(x_ref, o_ref):
+        i = pl.program_id(0)
 
         @pl.when(i == 0)
         def _():
-            acc_ref[...] = jnp.zeros_like(acc_ref)
+            o_ref[...] = jnp.zeros_like(o_ref)
 
         v = x_ref[...]  # (block_rows, 128)
-        bin_ids = (jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
-                   + j * LANES)
-        # (rows, lanes, bins) compare, summed over values -> (1, bins)
-        eq = (v[:, :, None] == bin_ids[None, :, :].reshape(1, 1, LANES))
-        acc_ref[...] += jnp.sum(eq.astype(jnp.int32), axis=(0, 1),
-                                keepdims=False).reshape(1, LANES)
-
-        @pl.when(i == pl.num_programs(1) - 1)
-        def _():
-            o_ref[...] = acc_ref[...]
+        for c in range(n_bchunks):  # static; all chunks in ONE value pass
+            bin_ids = (jax.lax.broadcasted_iota(jnp.int32, (1, LANES), 1)
+                       + c * LANES)
+            eq = (v[:, :, None] == bin_ids[None, :, :].reshape(1, 1, LANES))
+            o_ref[c, :] += jnp.sum(eq.astype(jnp.int32), axis=(0, 1))
 
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((1, bins_p), jnp.int32),
-        grid=(n_bchunks, n_vblocks),
-        in_specs=[pl.BlockSpec((block_rows, LANES), lambda j, i: (i, 0),
+        out_shape=jax.ShapeDtypeStruct((chunk_rows, LANES), jnp.int32),
+        grid=(n_vblocks,),
+        in_specs=[pl.BlockSpec((block_rows, LANES), lambda i: (i, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=pl.BlockSpec((1, LANES), lambda j, i: (0, j),
+        out_specs=pl.BlockSpec((chunk_rows, LANES), lambda i: (0, 0),
                                memory_space=pltpu.VMEM),
-        scratch_shapes=[pltpu.VMEM((1, LANES), jnp.int32)],
         compiler_params=pltpu.CompilerParams(
-            dimension_semantics=("arbitrary", "arbitrary")),
+            dimension_semantics=("arbitrary",)),
         interpret=use_interpret() if interpret is None else interpret,
     )(x2)
     return out.reshape(-1)[:num_bins]
+
+
+def histogram_sorted(x, num_bins):
+    """O(N log N) sort-based tier: bin-count independent of the bin count
+    (the better asymptotics for very large histograms); XLA sort +
+    searchsorted, no compare-per-bin work."""
+    xs = jnp.sort(x.reshape(-1))
+    edges = jnp.arange(num_bins + 1, dtype=xs.dtype)
+    idx = jnp.searchsorted(xs, edges, side="left")
+    return jnp.diff(idx).astype(jnp.int32)
 
 
 def histogram_ref(x, num_bins):
@@ -82,3 +91,6 @@ register("histogram", "histogram_i32", ref=histogram_ref)(
     lambda x, num_bins, **kw: histogram(x, num_bins, **kw))
 register("histogram", "histogram_i32_r128", ref=histogram_ref)(
     lambda x, num_bins, **kw: histogram(x, num_bins, block_rows=128, **kw))
+register("histogram", "histogram_i32_sorted", ref=histogram_ref,
+         tags=("baseline",))(
+    lambda x, num_bins, **kw: histogram_sorted(x, num_bins))
