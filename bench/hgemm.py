@@ -48,9 +48,10 @@ def sweep_fine(args):
     """256-step shape sweep, best-config tpukern vs XLA, optional plot.
     Uses the jitter-scalar timing mode (see harness.bench.device_time) so
     neither side pays a materialized perturbation pass."""
-    from tpukern.harness.bench import device_time
-    from tpukern.ops.matmul import matmul
+    from tpukern.harness.bench import device_peaks, device_time
+    from tpukern.ops.matmul import hgemm
 
+    peak = device_peaks()["bf16_tflops"]
     rng = np.random.default_rng(0)
     sizes = list(range(256, 8192 + 1, 256))
     rows = []
@@ -60,20 +61,27 @@ def sweep_fine(args):
         fl = 2 * s ** 3
 
         def pk(a, b, **kw):
-            return matmul(a, b, block_m=1024, block_n=1024, block_k=512,
-                          **kw)
+            return hgemm(a, b, **kw)   # shape-aware auto blocks
 
         def xla(a, b):
             return jnp.dot(a, b, preferred_element_type=jnp.float32
                            ).astype(jnp.bfloat16)
 
+        def t(fn, jit):
+            for _ in range(2):
+                v = fl / device_time(fn, a, b, iters_lo=8, iters_hi=40,
+                                     jitter_kw="jitter" if jit else None
+                                     ) / 1e12
+                if v <= 1.03 * peak:   # discard slope glitches above peak
+                    return v
+            return float("nan")
+
         try:
-            tp = fl / device_time(pk, a, b, iters_lo=8, iters_hi=40,
-                                  jitter_kw="jitter") / 1e12
+            tp = t(pk, True)
         except Exception as e:
             print(f"# {s}: tpukern failed {type(e).__name__}", flush=True)
             tp = float("nan")
-        tx = fl / device_time(xla, a, b, iters_lo=8, iters_hi=40) / 1e12
+        tx = t(xla, False)
         rows.append((s, tp, tx))
         print(f"MNK={s:<6} tpukern {tp:7.1f}  xla {tx:7.1f}  "
               f"ratio {100 * tp / tx:6.1f}%", flush=True)

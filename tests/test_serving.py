@@ -1,0 +1,61 @@
+"""Serving path: prefill + paged decode match the full-model forward."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpukern.models import Config, forward, init_params
+from tpukern.models import serving
+
+CFG = Config(vocab=128, d_model=128, n_layers=2, n_heads=4, n_kv_heads=2,
+             d_ff=256, max_seq=512)
+
+
+@pytest.fixture(scope="module")
+def setup():
+    params = init_params(CFG, jax.random.key(0))
+    rng = np.random.default_rng(0)
+    prompt = jnp.asarray(rng.integers(0, CFG.vocab, (2, 48)), jnp.int32)
+    return params, prompt
+
+
+def test_prefill_matches_forward(setup):
+    """Prefill's next-token logits == the training-path forward's last
+    position (same kernels, cache write on the side)."""
+    params, prompt = setup
+    cache = serving.init_cache(CFG, prompt.shape[0], pages_per_seq=2,
+                               page_size=128, dtype=jnp.float32)
+    logits, cache = serving.prefill(params, CFG, prompt, cache)
+    ref = forward(params, prompt, CFG)[:, -1]
+    assert (np.asarray(cache.lengths) == prompt.shape[1]).all()
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_decode_matches_forward(setup):
+    """A decode step against the paged cache == running the full forward
+    on prompt + generated token (the KV cache is exact)."""
+    params, prompt = setup
+    B, T = prompt.shape
+    cache = serving.init_cache(CFG, B, pages_per_seq=2, page_size=128,
+                               dtype=jnp.float32)
+    logits, cache = serving.prefill(params, CFG, prompt, cache)
+    tok = jnp.argmax(logits, -1).astype(jnp.int32)
+
+    logits2, cache = serving.decode_step(params, CFG, tok, cache)
+    assert (np.asarray(cache.lengths) == T + 1).all()
+
+    full = jnp.concatenate([prompt, tok[:, None]], axis=1)
+    ref = forward(params, full, CFG)[:, -1]
+    np.testing.assert_allclose(np.asarray(logits2), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_generate_shapes(setup):
+    params, prompt = setup
+    out = serving.generate(params, CFG, prompt, n_steps=3,
+                           pages_per_seq=2, page_size=128)
+    assert out.shape == (prompt.shape[0], 3)
+    assert (np.asarray(out) >= 0).all()
+    assert (np.asarray(out) < CFG.vocab).all()

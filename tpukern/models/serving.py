@@ -1,0 +1,186 @@
+"""Serving path: prefill + continuous decode over a paged KV cache.
+
+The reference stops at kernels; its serving-adjacent pieces are the
+Triton paged-FA / prefix-prefill kernels (kernels/openai-triton/). This
+module is the driver those kernels imply: a paged KV cache per layer, a
+prefill step that runs the causal Pallas FA-2 kernel over the prompt and
+writes K/V into pages, and a decode step that runs the paged-decode
+Pallas kernel per layer (ops/paged_attention.py) — the vLLM-style
+continuous-batching layout (each sequence owns a row of logical pages
+mapped to physical pages).
+
+All shapes are static (XLA-friendly): B_max sequences, fixed page pool.
+"""
+
+import dataclasses
+from typing import Any
+
+import jax
+import jax.numpy as jnp
+
+from tpukern.models.transformer import Config
+from tpukern.ops.attention import flash_attention
+from tpukern.ops.paged_attention import paged_attention
+from tpukern.ops.rmsnorm import rms_norm
+from tpukern.ops.rope import make_cos_sin, rope_cached
+
+
+@dataclasses.dataclass
+class KVCache:
+    k_pages: Any      # (L, Hkv, P, page, D)
+    v_pages: Any      # (L, Hkv, P, page, D)
+    page_table: Any   # (B, pages_per_seq) int32 physical page ids
+    lengths: Any      # (B,) int32 live tokens per sequence
+
+    @property
+    def page_size(self):
+        return self.k_pages.shape[3]
+
+
+def init_cache(cfg: Config, batch, pages_per_seq, page_size=128,
+               dtype=jnp.bfloat16):
+    """Fixed page pool; sequence b owns physical pages
+    [b*pages_per_seq, (b+1)*pages_per_seq) — the identity mapping a real
+    allocator would replace (the kernel only sees the table)."""
+    Hkv, D = cfg.n_kv_heads, cfg.head_dim
+    P = batch * pages_per_seq
+    shape = (cfg.n_layers, Hkv, P, page_size, D)
+    table = jnp.arange(P, dtype=jnp.int32).reshape(batch, pages_per_seq)
+    return KVCache(
+        k_pages=jnp.zeros(shape, dtype),
+        v_pages=jnp.zeros(shape, dtype),
+        page_table=table,
+        lengths=jnp.zeros((batch,), jnp.int32),
+    )
+
+
+def _write_tokens(pages, layer, new, table, start):
+    """Scatter new (B, Hkv, T, D) tokens into the page pool at positions
+    start[b] .. start[b]+T-1 of each sequence."""
+    B, Hkv, T, D = new.shape
+    page_size = pages.shape[3]
+
+    def per_seq(pages, new_b, table_b, start_b):
+        def per_tok(pages, t):
+            pos = start_b + t
+            phys = table_b[pos // page_size]
+            pages = jax.lax.dynamic_update_slice(
+                pages,
+                new_b[:, t][None, :, None, None, :].astype(pages.dtype),
+                (layer, 0, phys, pos % page_size, 0))
+            return pages, None
+        pages, _ = jax.lax.scan(per_tok, pages, jnp.arange(T))
+        return pages
+
+    for b in range(B):  # static, small
+        pages = per_seq(pages, new[b], table[b], start[b])
+    return pages
+
+
+def _rope_at(x_rows, pos_rows, max_pos):
+    """RoPE at arbitrary positions: gather the cached cos/sin tables at
+    pos_rows and run the library's cached-table kernel."""
+    D = x_rows.shape[-1]
+    cos, sin = make_cos_sin(max_pos, D)
+    return rope_cached(x_rows, cos[pos_rows], sin[pos_rows])
+
+
+def _layer_qkv(h, lp, cfg: Config, positions):
+    """Project + rope one batch of hidden states h (B, T, d);
+    positions (B, T) are the absolute cache positions of each token."""
+    B, T, d = h.shape
+    Dh, Hq, Hkv = cfg.head_dim, cfg.n_heads, cfg.n_kv_heads
+    max_pos = cfg.max_seq
+    h2 = h.reshape(B * T, d)
+    q = (h2 @ lp["wq"]).reshape(B, T, Hq, Dh).transpose(0, 2, 1, 3)
+    k = (h2 @ lp["wk"]).reshape(B, T, Hkv, Dh).transpose(0, 2, 1, 3)
+    v = (h2 @ lp["wv"]).reshape(B, T, Hkv, Dh).transpose(0, 2, 1, 3)
+
+    def pos_rows(nh):
+        return jnp.broadcast_to(positions[:, None, :], (B, nh, T)
+                                ).reshape(-1)
+
+    q = _rope_at(q.reshape(B * Hq * T, Dh), pos_rows(Hq), max_pos
+                 ).reshape(B, Hq, T, Dh)
+    k = _rope_at(k.reshape(B * Hkv * T, Dh), pos_rows(Hkv), max_pos
+                 ).reshape(B, Hkv, T, Dh)
+    return q, k, v
+
+
+def _mlp(h, lp):
+    return (jax.nn.gelu(h @ lp["w1"]) @ lp["w2"])
+
+
+def prefill(params, cfg: Config, tokens, cache: KVCache):
+    """Process a full prompt (B, T): causal FA-2 over the prompt, write
+    K/V into the cache pages, return next-token logits (B, vocab)."""
+    B, T = tokens.shape
+    h = jnp.take(params["embed"], tokens, axis=0)
+    start = cache.lengths
+    positions = start[:, None] + jnp.arange(T)[None, :]
+    k_pages, v_pages = cache.k_pages, cache.v_pages
+    for li, lp in enumerate(params["layers"]):
+        hn = rms_norm(h.reshape(B * T, -1), lp["ln1"]).reshape(h.shape)
+        q, k, v = _layer_qkv(hn, lp, cfg, positions)
+        o = flash_attention(q, k, v, causal=True)
+        o = o.transpose(0, 2, 1, 3).reshape(B * T, -1) @ lp["wo"]
+        h = h + o.reshape(B, T, -1)
+        hn = rms_norm(h.reshape(B * T, -1), lp["ln2"]).reshape(h.shape)
+        h = h + _mlp(hn.reshape(B * T, -1), lp).reshape(h.shape)
+        k_pages = _write_tokens(k_pages, li, k, cache.page_table, start)
+        v_pages = _write_tokens(v_pages, li, v, cache.page_table, start)
+    hn = rms_norm(h[:, -1], params["lnf"])
+    logits = (hn @ params["head"]).astype(jnp.float32)
+    new_cache = KVCache(k_pages, v_pages, cache.page_table,
+                        cache.lengths + T)
+    return logits, new_cache
+
+
+def decode_step(params, cfg: Config, last_tokens, cache: KVCache):
+    """One continuous-batching decode step: last_tokens (B,) -> logits
+    (B, vocab). Attention runs the paged-decode Pallas kernel against the
+    page pool (ops/paged_attention.py)."""
+    B = last_tokens.shape[0]
+    h = jnp.take(params["embed"], last_tokens, axis=0)[:, None, :]  # (B,1,d)
+    positions = cache.lengths[:, None]  # (B, 1)
+    k_pages, v_pages = cache.k_pages, cache.v_pages
+    for li, lp in enumerate(params["layers"]):
+        hn = rms_norm(h.reshape(B, -1), lp["ln1"]).reshape(h.shape)
+        q, k, v = _layer_qkv(hn, lp, cfg, positions)
+        k_pages = _write_tokens(k_pages, li, k, cache.page_table,
+                                cache.lengths)
+        v_pages = _write_tokens(v_pages, li, v, cache.page_table,
+                                cache.lengths)
+        pps = cache.page_table.shape[1]
+        ppb = max(d for d in (4, 2, 1) if pps % d == 0)
+        o = paged_attention(q[:, :, 0], k_pages[li], v_pages[li],
+                            cache.lengths + 1, cache.page_table,
+                            pages_per_block=ppb)
+        h = h + (o.reshape(B, -1) @ lp["wo"]).reshape(h.shape)
+        hn = rms_norm(h.reshape(B, -1), lp["ln2"]).reshape(h.shape)
+        h = h + _mlp(hn.reshape(B, -1), lp).reshape(h.shape)
+    hn = rms_norm(h[:, 0], params["lnf"])
+    logits = (hn @ params["head"]).astype(jnp.float32)
+    new_cache = KVCache(k_pages, v_pages, cache.page_table,
+                        cache.lengths + 1)
+    return logits, new_cache
+
+
+def generate(params, cfg: Config, prompt, n_steps, pages_per_seq=8,
+             page_size=128, greedy=True, key=None):
+    """Prefill the prompt then decode n_steps tokens (greedy or sampled).
+    Returns (B, n_steps) generated token ids."""
+    B, T = prompt.shape
+    cache = init_cache(cfg, B, pages_per_seq, page_size)
+    logits, cache = prefill(params, cfg, prompt, cache)
+    outs = []
+    tok = jnp.argmax(logits, -1).astype(jnp.int32)
+    for i in range(n_steps):
+        outs.append(tok)
+        logits, cache = decode_step(params, cfg, tok, cache)
+        if greedy:
+            tok = jnp.argmax(logits, -1).astype(jnp.int32)
+        else:
+            key, sub = jax.random.split(key)
+            tok = jax.random.categorical(sub, logits).astype(jnp.int32)
+    return jnp.stack(outs, axis=1)

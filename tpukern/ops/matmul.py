@@ -378,15 +378,43 @@ def matmul_naive(a, b, *, block_m=256, block_n=256, out_dtype=None,
     return out.astype(out_dtype)
 
 
+def auto_blocks(M, N, K, target_m=1024, target_n=1024, target_k=512):
+    """Shape-aware block sizes minimizing tail padding. With fixed
+    1024-blocks, e.g. M=2304 pads to 3x1024 = 33% wasted MXU rows (the
+    256-step shape sweep showed 46-77% of XLA at non-multiple sizes vs
+    95-109% at multiples). Per dimension, search a few block counts at or
+    above the target tiling's and keep the one with the least padding;
+    granularity is the hardware minimum per role (block_m is only a
+    sublane dim -> 16; block_n/block_k are lane dims -> 128)."""
+    def pick(d, t, gran):
+        n0 = -(-d // t)
+        best = None
+        for n in range(n0, n0 + 7):
+            b = min(t, -(-(-(-d // n)) // gran) * gran)
+            pad = n * b - d
+            if pad < 0:
+                continue
+            if best is None or pad < best[0]:
+                best = (pad, b)
+            if pad == 0:
+                break
+        return best[1]
+    return dict(block_m=pick(M, target_m, 16), block_n=pick(N, target_n, 128),
+                block_k=pick(K, target_k, 128))
+
+
 def hgemm(a, b, **kw):
     """Flagship BF16 GEMM (toy-hgemm's hgemm_mma_...stages_dsmem role):
     1024x1024x512 MXU tiles. With f32 output (pass out_dtype=jnp.float32)
     it accumulates in the output block at ~chip peak (201 TFLOPS on v5e);
     the default bf16 output uses the scratch-accumulator epilogue (the
     dual-output variant measured slower — see BENCH_NOTES.md)."""
-    kw.setdefault("block_m", 1024)
-    kw.setdefault("block_n", 1024)
-    kw.setdefault("block_k", 512)
+    M, K = a.shape
+    N = b.shape[0] if kw.get("trans_b") else b.shape[1]
+    auto = auto_blocks(M, N, K)
+    kw.setdefault("block_m", auto["block_m"])
+    kw.setdefault("block_n", auto["block_n"])
+    kw.setdefault("block_k", auto["block_k"])
     if jnp.dtype(kw.get("out_dtype") or jnp.bfloat16) == jnp.float32:
         kw.setdefault("acc_in_out", True)
     return matmul(a.astype(jnp.bfloat16), b.astype(jnp.bfloat16), **kw)
