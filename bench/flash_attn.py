@@ -106,6 +106,17 @@ def main():
                                    _r(q_, k_, v__, causal=args.causal))
                               if args.check else None,
                               check=args.check)
+                if args.check_all:
+                    # 8-row output slice next to the reference slice
+                    # (flash_attn_mma.py --check-all dump analog)
+                    out = np.asarray(fn(qj, kj, vj), np.float32)
+                    refv = np.asarray(
+                        var.ref(qj, kj, vj, causal=args.causal),
+                        np.float32)
+                    np.set_printoptions(precision=4, suppress=True,
+                                        linewidth=120)
+                    print(f"  {name} out[0,0,:8,:8]:\n{out[0, 0, :8, :8]}")
+                    print(f"  ref  out[0,0,:8,:8]:\n{refv[0, 0, :8, :8]}")
             except Exception as e:
                 print(f"{name:<34} SKIP ({type(e).__name__}: "
                       f"{str(e)[:120]})")
