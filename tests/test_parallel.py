@@ -112,3 +112,26 @@ def test_ring_attention_backward(mesh, causal, rng):
     for got, ref, name in zip(g, g_ref, ("dq", "dk", "dv")):
         np.testing.assert_allclose(np.asarray(got), np.asarray(ref),
                                    rtol=2e-3, atol=2e-3, err_msg=name)
+
+
+def test_ring_kernels_all_gather(mesh, rng):
+    """Pallas RDMA ring all-gather (make_async_remote_copy) on the
+    8-device interpret-mode mesh == lax all_gather."""
+    from tpukern.parallel.ring_kernels import ring_all_gather
+    x = jnp.asarray(rng.standard_normal((64, 128)), jnp.float32)
+    out = ring_all_gather(x, mesh, axis="x")
+    np.testing.assert_allclose(np.asarray(out), np.asarray(x))
+
+
+def test_ring_kernels_all_reduce(mesh, rng):
+    """Pallas ring reduce-scatter + all-gather == sum over members."""
+    from tpukern.parallel.ring_kernels import (ring_all_reduce_grads,
+                                               ring_reduce_scatter)
+    n = mesh.shape["x"]
+    x = jnp.asarray(rng.standard_normal((n, 64, 128)), jnp.float32)
+    rs = ring_reduce_scatter(x, mesh, axis="x")
+    np.testing.assert_allclose(np.asarray(rs), np.asarray(x.sum(0)),
+                               rtol=1e-5, atol=1e-5)
+    ar = ring_all_reduce_grads(x, mesh, axis="x")
+    np.testing.assert_allclose(np.asarray(ar), np.asarray(x.sum(0)),
+                               rtol=1e-5, atol=1e-5)
