@@ -12,8 +12,10 @@ from jax import shard_map
 from jax.sharding import Mesh, PartitionSpec as P
 
 from tpukern.models.moe import (aux_load_balance_loss, expert_capacity,
-                                init_moe_params, moe_block, moe_block_topk,
-                                moe_dispatch)
+                                init_moe_params, init_shared_expert,
+                                moe_block, moe_block_dropless,
+                                moe_block_topk, moe_dispatch, router_z_loss,
+                                shared_expert)
 
 D, FF, E = 64, 128, 8
 
@@ -145,6 +147,62 @@ def test_routed_flop_scaling(setup):
     # total expert-FFN row count is E*C ~ T*cf (rounded), not E*T
     assert E * C <= 2 * T + 8 * E
     assert E * C < E * T
+
+
+@pytest.mark.parametrize("k", [1, 2])
+def test_dropless_matches_reference(k, setup):
+    """ragged_dot token-group tier == the explicit no-capacity top-k
+    reference (dropless by construction)."""
+    params, x = setup
+    out = moe_block_dropless(x, params, k=k)
+    ref = _topk_ref(x, params, k)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_dropless_skewed_routing(setup):
+    """Every token routed to one expert: capacity tiers would drop most
+    tokens; the dropless tier must process all of them."""
+    params, x = setup
+    rigged = dict(params)
+    rigged["router"] = jnp.zeros_like(params["router"]).at[0, 3].set(100.0)
+    out = moe_block_dropless(x, rigged, k=1)
+    ref = _topk_ref(x, rigged, 1)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+    assert (np.linalg.norm(np.asarray(out), axis=-1) > 0).all()
+
+
+def test_dropless_grads_flow(setup):
+    params, x = setup
+
+    def loss(p):
+        out = moe_block_dropless(x, p, k=2)
+        return jnp.sum(out ** 2) + 0.01 * router_z_loss(x, p)
+
+    g = jax.grad(loss)(params)
+    for name in ("router", "w1", "w2"):
+        assert np.isfinite(np.asarray(g[name])).all()
+    assert float(jnp.max(jnp.abs(g["router"]))) > 0
+    assert float(jnp.max(jnp.abs(g["w1"]))) > 0
+
+
+def test_shared_expert_and_z_loss(setup):
+    params, x = setup
+    sp = init_shared_expert(jax.random.key(1), D, FF)
+    dense = shared_expert(x, sp)
+    assert dense.shape == x.shape
+    # shared expert is routing-independent: permuting tokens permutes out
+    perm = np.random.default_rng(2).permutation(x.shape[0])
+    np.testing.assert_allclose(np.asarray(shared_expert(x[perm], sp)),
+                               np.asarray(dense)[perm], rtol=1e-5,
+                               atol=1e-5)
+    z = router_z_loss(x, params)
+    assert np.isfinite(float(z)) and float(z) >= 0
+    # z-loss pushes router logits toward zero: scaled-up router has
+    # strictly larger z-loss
+    big = dict(params, router=params["router"] * 10.0)
+    assert float(router_z_loss(x, big)) > float(z)
 
 
 def test_topk_grads_flow(setup):

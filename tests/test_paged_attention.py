@@ -44,6 +44,36 @@ def test_paged_decode_gqa_group1(rng):
                                rtol=1e-4, atol=1e-4)
 
 
+def test_paged_decode_fp8_kv(rng):
+    """fp8(e4m3)-quantized KV pages: same 1-byte DMA traffic as int8 with
+    tapered precision; decode output within quantization tolerance."""
+    from tpukern.ops.paged_attention import (paged_attention_quantized,
+                                             paged_attention_ref,
+                                             quantize_pages)
+    B, Hq, Hkv, D = 2, 4, 2, 64
+    page, P, pages_per_seq = 128, 16, 4
+    q = jnp.asarray(rng.standard_normal((B, Hq, D)), jnp.float32)
+    k_pages = jnp.asarray(rng.standard_normal((Hkv, P, page, D)),
+                          jnp.float32)
+    v_pages = jnp.asarray(rng.standard_normal((Hkv, P, page, D)),
+                          jnp.float32)
+    lengths = jnp.asarray([300, 450], jnp.int32)
+    table = jnp.asarray(
+        rng.permutation(P)[: B * pages_per_seq], jnp.int32
+    ).reshape(B, pages_per_seq)
+
+    kq, ks = quantize_pages(k_pages, "fp8")
+    vq, vs = quantize_pages(v_pages, "fp8")
+    assert kq.dtype == jnp.float8_e4m3fn and ks.shape == (Hkv, P, page)
+    out = paged_attention_quantized(
+        q.astype(jnp.bfloat16), kq, ks, vq, vs, lengths, table,
+        pages_per_block=2)
+    ref = paged_attention_ref(q, k_pages, v_pages, lengths, table)
+    np.testing.assert_allclose(np.asarray(out, np.float64),
+                               np.asarray(ref, np.float64),
+                               rtol=7e-2, atol=7e-2)
+
+
 def test_paged_decode_int8_kv(rng):
     """int8-quantized KV pages: decode output within quantization+bf16
     tolerance of the float reference (the int8-KV-cache serving path)."""

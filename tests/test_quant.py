@@ -26,6 +26,27 @@ def test_roundtrip_error_bounded(rng):
     assert (np.abs(np.asarray(y) - np.asarray(x)) <= 0.51 * step + 1e-6).all()
 
 
+def test_quantize_fp8_matches_ref(rng):
+    x = jnp.asarray(rng.standard_normal((64, 256)) * 3, jnp.float32)
+    v, s = quant.quantize_fp8(x)
+    v_ref, s_ref = quant.quantize_fp8_ref(x)
+    assert v.dtype == jnp.float8_e4m3fn
+    np.testing.assert_allclose(np.asarray(s), np.asarray(s_ref), rtol=1e-6)
+    np.testing.assert_array_equal(np.asarray(v, np.float32),
+                                  np.asarray(v_ref, np.float32))
+
+
+def test_fp8_roundtrip_error_bounded(rng):
+    x = jnp.asarray(rng.standard_normal((32, 512)), jnp.float32)
+    v, s = quant.quantize_fp8(x)
+    y = np.asarray(v, np.float32) * np.asarray(s)[:, None]
+    # e4m3 relative step is 2^-3 within a binade; scaled absmax ~448
+    err = np.abs(y - np.asarray(x))
+    bound = np.maximum(np.abs(np.asarray(x)) * 2.0 ** -3,
+                       np.asarray(s)[:, None] * 2.0 ** -9)
+    assert (err <= bound + 1e-6).all()
+
+
 @pytest.mark.skipif(
     __import__("jax").default_backend() != "tpu",
     reason="pltpu PRNG (prng_random_bits/stochastic_round) has no "

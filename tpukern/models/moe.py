@@ -161,6 +161,70 @@ def moe_block_topk(x, params, *, k=1, capacity_factor=1.25, ep_axis=None,
     return out.astype(x.dtype)
 
 
+def moe_block_dropless(x, params, *, k=1, renorm=True):
+    """Dropless (token-group) tier: x (T, d) -> (T, d), no capacity limit
+    and no dropped tokens.
+
+    MegaBlocks-style grouped computation the XLA way: replicate each
+    token k times, sort the T*k rows by their routed expert, and run the
+    expert FFN as two `lax.ragged_dot` grouped GEMMs (group_sizes =
+    tokens per expert) — the TPU-native grouped-GEMM primitive, so
+    expert FLOPs scale with T*k exactly, independent of how skewed the
+    routing is. Static shapes throughout (argsort + bincount); the
+    gather/unsort are XLA one-hot-free gathers.
+
+    Single-shard tier (experts replicated): ragged group sizes are data-
+    dependent, so the static-split all_to_all of moe_block_topk cannot
+    carry them over an ep axis; capacity dispatch remains the ep tier.
+    """
+    T, d = x.shape
+    E = params["w1"].shape[0]
+
+    logits = jnp.dot(x, params["router"][:, :E])
+    probs = jax.nn.softmax(logits.astype(jnp.float32), axis=-1)
+    topk_p, topk_e = lax.top_k(probs, k)                     # (T, k)
+    if renorm and k > 1:
+        topk_p = topk_p / jnp.sum(topk_p, axis=-1, keepdims=True)
+
+    expert_flat = topk_e.reshape(-1)                         # (T*k,)
+    gate_flat = topk_p.reshape(-1)                           # (T*k,)
+    order = jnp.argsort(expert_flat)                         # stable
+    token_of = order // k                                    # source row
+    xs = x[token_of]                                         # (T*k, d)
+    group_sizes = jnp.bincount(expert_flat, length=E).astype(jnp.int32)
+
+    h = jax.nn.gelu(lax.ragged_dot(xs, params["w1"], group_sizes))
+    ys = lax.ragged_dot(h.astype(x.dtype), params["w2"], group_sizes)
+
+    w = gate_flat[order].astype(jnp.float32)[:, None]        # (T*k, 1)
+    out = jnp.zeros((T, d), jnp.float32).at[token_of].add(
+        ys.astype(jnp.float32) * w)
+    return out.astype(x.dtype)
+
+
+def init_shared_expert(key, d_model, d_ff, dtype=jnp.float32):
+    """DeepSeek-style always-on shared expert (dense FFN beside the
+    routed experts)."""
+    k1, k2 = jax.random.split(key)
+    return dict(
+        w1=(jax.random.normal(k1, (d_model, d_ff)) * 0.02).astype(dtype),
+        w2=(jax.random.normal(k2, (d_ff, d_model)) * 0.02).astype(dtype),
+    )
+
+
+def shared_expert(x, sp):
+    """Dense FFN applied to every token; add to the routed output."""
+    return matmul_t(jax.nn.gelu(matmul_t(x, sp["w1"])), sp["w2"])
+
+
+def router_z_loss(x, params, e_total=None):
+    """Router z-loss (ST-MoE): mean logsumexp(logits)^2 — keeps router
+    logits small so the softmax stays in a well-conditioned range."""
+    E = e_total or params["w1"].shape[0]
+    logits = jnp.dot(x, params["router"][:, :E]).astype(jnp.float32)
+    return jnp.mean(jax.nn.logsumexp(logits, axis=-1) ** 2)
+
+
 def aux_load_balance_loss(x, params, ep_size=1):
     """Switch-transformer load-balance auxiliary loss: E * sum_e f_e * p_e
     (fraction of tokens routed to e times mean router prob of e)."""

@@ -57,7 +57,8 @@ MAX_HEADDIM = {
 
 
 def _fa_kernel(*refs, causal, block_q, block_k, with_stats,
-               has_alibi, causal_offset=0, kv_len=None, use_exp2=True):
+               has_alibi, causal_offset=0, kv_len=None, use_exp2=True,
+               has_carry_in=False, carry_out=False):
     """Online-softmax body, by default in log2 space: q arrives pre-scaled
     by sm_scale*log2(e), so p = exp2(s - m) uses the VPU's fast exp2 and
     saves one multiply per score element (the rescale-then-update
@@ -74,9 +75,18 @@ def _fa_kernel(*refs, causal, block_q, block_k, with_stats,
     if has_alibi:
         slopes_ref = refs[i]
         i += 1
-    o_ref = refs[i]
-    i += 1
-    lse_ref = refs[i] if with_stats else None
+    acc_in_ref = m_in_ref = l_in_ref = None
+    if has_carry_in:
+        acc_in_ref, m_in_ref, l_in_ref = refs[i:i + 3]
+        i += 3
+    if carry_out:
+        o_ref = lse_ref = None
+        acc_out_ref, m_out_ref, l_out_ref = refs[i:i + 3]
+        i += 3
+    else:
+        o_ref = refs[i]
+        i += 1
+        lse_ref = refs[i] if with_stats else None
     m_ref, l_ref, acc_ref = refs[-3:]
     qi = pl.program_id(2)
     ki = pl.program_id(3)
@@ -84,9 +94,23 @@ def _fa_kernel(*refs, causal, block_q, block_k, with_stats,
 
     @pl.when(ki == 0)
     def _():
-        m_ref[...] = jnp.full_like(m_ref, NEG_BIG)
-        l_ref[...] = jnp.zeros_like(l_ref)
-        acc_ref[...] = jnp.zeros_like(acc_ref)
+        if has_carry_in:
+            # resume a prior pass's online-softmax state (ring attention:
+            # the cross-shard combine rides inside the kernel). Carried m
+            # is in natural-log units; clamp after the log2 conversion so
+            # a neutral carry can't overflow f32 to -inf (exp2(-inf -
+            # -inf) would be nan).
+            acc_ref[...] = acc_in_ref[0, 0].astype(acc_ref.dtype)
+            m0 = m_in_ref[0, 0][:, :1]
+            if use_exp2:
+                m0 = jnp.maximum(m0 * LOG2E, NEG_BIG)
+            m_ref[...] = jnp.broadcast_to(m0, m_ref.shape)
+            l_ref[...] = jnp.broadcast_to(l_in_ref[0, 0][:, :1],
+                                          l_ref.shape)
+        else:
+            m_ref[...] = jnp.full_like(m_ref, NEG_BIG)
+            l_ref[...] = jnp.zeros_like(l_ref)
+            acc_ref[...] = jnp.zeros_like(acc_ref)
 
     if causal:
         # Run only if the block intersects the causal lower triangle
@@ -148,6 +172,14 @@ def _fa_kernel(*refs, causal, block_q, block_k, with_stats,
     @pl.when(ki == pl.num_programs(3) - 1)
     def _():
         l = l_ref[:, :1]
+        if carry_out:
+            # hand the un-normalized state to the next pass (natural-log m)
+            acc_out_ref[0, 0] = acc_ref[...].astype(jnp.float32)
+            m_nat = (LN2 * m_ref[:, :1]) if use_exp2 else m_ref[:, :1]
+            m_out_ref[0, 0] = jnp.broadcast_to(m_nat,
+                                               m_out_ref.shape[2:])
+            l_out_ref[0, 0] = jnp.broadcast_to(l, l_out_ref.shape[2:])
+            return
         l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
         o_ref[0, 0] = (acc_ref[...].astype(jnp.float32) * l_inv
                        ).astype(o_ref.dtype)
@@ -161,7 +193,8 @@ def _fa_kernel(*refs, causal, block_q, block_k, with_stats,
 def flash_attention(q, k, v, *, causal=False, sm_scale=None,
                     block_q=None, block_k=None, acc_dtype=jnp.float32,
                     return_stats=False, alibi_slopes=None,
-                    causal_offset=0, interpret=None):
+                    causal_offset=0, carry=None, return_carry=False,
+                    interpret=None):
     """FA-2 forward. q: (B, Hq, Sq, D); k, v: (B, Hkv, Skv, D), Hkv | Hq.
 
     alibi_slopes: optional (Hq,) per-head ALiBi slopes (linear position
@@ -171,6 +204,14 @@ def flash_attention(q, k, v, *, causal=False, sm_scale=None,
     kernels/openai-triton/prefix_prefill.py analog). Returns o (B,Hq,Sq,D);
     with return_stats also lse (B,Hq,Sq) for cross-shard softmax
     combination (ring attention / context parallelism).
+
+    carry / return_carry chain the online-softmax state ACROSS calls
+    (the in-kernel ring-attention combine): carry = (acc (B,Hq,Sq,D) f32
+    un-normalized output, m (B,Hq,Sq) f32 natural-log running max,
+    l (B,Hq,Sq) f32 running denominator). With return_carry=True the
+    kernel returns that tuple instead of o; finish with
+    flash_attention_finalize(acc, m, l). A neutral initial carry comes
+    from flash_attention_carry_init(q).
     """
     orig_dtype = q.dtype
     q, k, v = (to_kernel_dtype(t) for t in (q, k, v))
@@ -187,13 +228,18 @@ def flash_attention(q, k, v, *, causal=False, sm_scale=None,
     use_exp2 = jnp.dtype(orig_dtype) != jnp.float32
     q = (q.astype(jnp.float32)
          * (sm_scale * (LOG2E if use_exp2 else 1.0))).astype(q.dtype)
-    # shape-aware defaults measured on v5e (BENCH_NOTES.md): grid-step
-    # overhead dominates small tiles, VMEM caps large ones (scale with D)
+    # shape-aware defaults from the v5e sweep (tools/fa_tune.py, frozen in
+    # BENCH_NOTES.md): grid-step overhead dominates small tiles, VMEM caps
+    # large ones (scale with D), and causal prefers bq >= bk (block-level
+    # triangle skipping wastes less of each KV block near the diagonal)
     if block_q is None:
-        block_q = 1024 if D <= 128 else 512
+        block_q = 1024 if (D <= 128 or (causal and D <= 256)) else 512
     if block_k is None:
-        block_k = 2048 if (D <= 64 and Skv >= 4096) else \
-            1024 if D <= 128 else 512
+        if causal:
+            block_k = 1024 if D <= 128 else 512 if D <= 256 else 256
+        else:
+            block_k = 2048 if (D <= 128 and Skv >= 4096) else \
+                1024 if D <= 256 else 512
     bq = min(block_q, Sq)
     bk = min(block_k, Skv)
     # Non-block-multiple sequence lengths: zero-pad at the XLA boundary so
@@ -209,27 +255,40 @@ def flash_attention(q, k, v, *, causal=False, sm_scale=None,
     grid = (B, Hq, cdiv(Sq_p, bq), cdiv(Skv_p, bk))
 
     has_alibi = alibi_slopes is not None
+    assert not (return_carry and return_stats), \
+        "return_carry already includes the softmax stats (m, l)"
     kernel = functools.partial(
         _fa_kernel, causal=causal,
         block_q=bq, block_k=bk, with_stats=return_stats,
         has_alibi=has_alibi, causal_offset=causal_offset,
-        kv_len=Skv if Skv % bk else None, use_exp2=use_exp2)
+        kv_len=Skv if Skv % bk else None, use_exp2=use_exp2,
+        has_carry_in=carry is not None, carry_out=return_carry)
 
     # lse carries an 8-wide trailing dim: Mosaic block shapes need the
     # last two dims (8, 128)-aligned or array-sized. Only materialized
     # when requested — an unconditional stats output would add ~25% of
     # output-write DMA traffic at D=64 for nothing.
-    out_shapes = [jax.ShapeDtypeStruct((B, Hq, Sq_p, D), q.dtype)]
-    out_specs = [
-        pl.BlockSpec((1, 1, bq, D), lambda b, h, i, j: (b, h, i, 0),
-                     memory_space=pltpu.VMEM),
-    ]
-    if return_stats:
-        out_shapes.append(
-            jax.ShapeDtypeStruct((B, Hq, Sq_p, 8), jnp.float32))
-        out_specs.append(
-            pl.BlockSpec((1, 1, bq, 8), lambda b, h, i, j: (b, h, i, 0),
-                         memory_space=pltpu.VMEM))
+    _stat_spec = pl.BlockSpec((1, 1, bq, 8), lambda b, h, i, j: (b, h, i, 0),
+                              memory_space=pltpu.VMEM)
+    _acc_spec = pl.BlockSpec((1, 1, bq, D), lambda b, h, i, j: (b, h, i, 0),
+                             memory_space=pltpu.VMEM)
+    if return_carry:
+        out_shapes = [
+            jax.ShapeDtypeStruct((B, Hq, Sq_p, D), jnp.float32),
+            jax.ShapeDtypeStruct((B, Hq, Sq_p, 8), jnp.float32),
+            jax.ShapeDtypeStruct((B, Hq, Sq_p, 8), jnp.float32),
+        ]
+        out_specs = [_acc_spec, _stat_spec, _stat_spec]
+    else:
+        out_shapes = [jax.ShapeDtypeStruct((B, Hq, Sq_p, D), q.dtype)]
+        out_specs = [
+            pl.BlockSpec((1, 1, bq, D), lambda b, h, i, j: (b, h, i, 0),
+                         memory_space=pltpu.VMEM),
+        ]
+        if return_stats:
+            out_shapes.append(
+                jax.ShapeDtypeStruct((B, Hq, Sq_p, 8), jnp.float32))
+            out_specs.append(_stat_spec)
 
     in_specs = [
         pl.BlockSpec((1, 1, bq, D),
@@ -247,6 +306,17 @@ def flash_attention(q, k, v, *, causal=False, sm_scale=None,
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         args.append(jnp.asarray(alibi_slopes, jnp.float32)
                     * (LOG2E if use_exp2 else 1.0))
+    if carry is not None:
+        acc_in, m_in, l_in = carry
+        pad_q = ((0, 0), (0, 0), (0, Sq_p - Sq), (0, 0))
+        acc_in = jnp.pad(acc_in.astype(jnp.float32), pad_q)
+        stats_in = []
+        for t in (m_in, l_in):
+            t = jnp.broadcast_to(t.astype(jnp.float32)[..., None],
+                                 (B, Hq, Sq, 8))
+            stats_in.append(jnp.pad(t, pad_q))
+        in_specs.extend([_acc_spec, _stat_spec, _stat_spec])
+        args.extend([acc_in, *stats_in])
 
     res = pl.pallas_call(
         kernel,
@@ -270,9 +340,30 @@ def flash_attention(q, k, v, *, causal=False, sm_scale=None,
         ),
         interpret=use_interpret() if interpret is None else interpret,
     )(*args)
+    if return_carry:
+        return (res[0][:, :, :Sq], res[1][:, :, :Sq, 0],
+                res[2][:, :, :Sq, 0])
     o = res[0][:, :, :Sq].astype(orig_dtype)
     if return_stats:
         return o, res[1][:, :, :Sq, 0]
+    return o
+
+
+def flash_attention_carry_init(q):
+    """Neutral online-softmax carry for chained flash_attention calls."""
+    B, Hq, Sq, D = q.shape
+    return (jnp.zeros((B, Hq, Sq, D), jnp.float32),
+            jnp.full((B, Hq, Sq), NEG_BIG, jnp.float32),
+            jnp.zeros((B, Hq, Sq), jnp.float32))
+
+
+def flash_attention_finalize(acc, m, l, dtype=None, with_lse=False):
+    """Normalize a chained carry into the attention output (and lse)."""
+    l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)[..., None]
+    o = acc * l_inv
+    o = o.astype(dtype) if dtype is not None else o
+    if with_lse:
+        return o, m + jnp.log(jnp.maximum(l, 1e-37))
     return o
 
 

@@ -36,7 +36,7 @@ NEG_BIG = -0.7 * 3.4e38
 
 def _decode_kernel(lengths_ref, tables_ref, *refs,
                    page_size, pages_per_block, mask_value,
-                   quantized=False):
+                   quantized=False, sm_D=None):
     if quantized:
         (q_ref, k_hbm, v_hbm, ks_hbm, vs_hbm, o_ref, k_buf, v_buf,
          ks_buf, vs_buf, m_s, l_s, acc_s, sems) = refs
@@ -93,7 +93,7 @@ def _decode_kernel(lengths_ref, tables_ref, *refs,
         s = jax.lax.dot_general(
             q, k, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32)           # (group, bk)
-        s *= 1.0 / math.sqrt(D)
+        s *= 1.0 / math.sqrt(sm_D if sm_D is not None else D)
         pos = blk * bk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(pos < length, s, mask_value)
 
@@ -183,29 +183,44 @@ def paged_attention(q, k_pages, v_pages, lengths, page_table,
     return out.reshape(B, Hq, D)
 
 
-def quantize_pages(pages):
-    """Quantize a (Hkv, P, page, D) KV page pool to int8 with per-token
-    scales (Hkv, P, page) — the KV-cache layout for paged_attention with
-    quantized=True. Uses the library's per-row int8 kernel."""
-    from tpukern.ops.quant import quantize_int8
+def quantize_pages(pages, dtype="int8"):
+    """Quantize a (Hkv, P, page, D) KV page pool to int8 or fp8 (e4m3)
+    with per-token scales (Hkv, P, page) — the KV-cache layout for
+    paged_attention with quantized=True. Uses the library's per-row
+    quantization kernels (ops/quant.py).
+
+    D is zero-padded to a 128 multiple: 1-byte dtypes tile at 128 lanes,
+    and Mosaic rejects HBM page slices whose minor dim is narrower (seen
+    at D=64 on v5e). Zero columns don't change row absmax, dequantize to
+    exact zeros, and contribute nothing to the score/output matmuls."""
+    from tpukern.core import round_up
+    from tpukern.ops.quant import quantize_fp8, quantize_int8
     Hkv, P, page_size, D = pages.shape
-    vals, scales = quantize_int8(pages.reshape(Hkv * P * page_size, D))
-    return (vals.reshape(Hkv, P, page_size, D),
+    Dp = round_up(D, 128)
+    if Dp != D:
+        pages = jnp.pad(pages, ((0, 0), (0, 0), (0, 0), (0, Dp - D)))
+    qfn = {"int8": quantize_int8, "fp8": quantize_fp8}[dtype]
+    vals, scales = qfn(pages.reshape(Hkv * P * page_size, Dp))
+    return (vals.reshape(Hkv, P, page_size, Dp),
             scales.reshape(Hkv, P, page_size))
 
 
 def paged_attention_quantized(q, k_pages, k_scales, v_pages, v_scales,
                               lengths, page_table, *, pages_per_block=4,
                               interpret=None):
-    """Decode attention against an int8-quantized paged KV cache: pages
-    are int8 (half the DMA traffic of bf16), dequantized in VMEM with
-    their per-token scales right after the page fetch.
+    """Decode attention against a quantized paged KV cache: pages are
+    1-byte values (int8 or float8_e4m3fn — half the DMA traffic of
+    bf16), dequantized in VMEM with their per-token scales right after
+    the page fetch.
 
-    k_pages/v_pages: (Hkv, P, page, D) int8; k_scales/v_scales:
-    (Hkv, P, page) f32. Other args as paged_attention.
+    k_pages/v_pages: (Hkv, P, page, Dp) int8 or e4m3 with Dp = D rounded
+    up to 128 (quantize_pages pads); k_scales/v_scales: (Hkv, P, page)
+    f32. Other args as paged_attention.
     """
+    from tpukern.core import round_up
     B, Hq, D = q.shape
-    Hkv, P, page_size, _ = k_pages.shape
+    Hkv, P, page_size, Dp = k_pages.shape
+    assert Dp == round_up(D, 128), (D, Dp)
     pages_per_seq = page_table.shape[1]
     assert Hq % Hkv == 0
     group = Hq // Hkv
@@ -213,29 +228,31 @@ def paged_attention_quantized(q, k_pages, k_scales, v_pages, v_scales,
     n_blk = pages_per_seq // pages_per_block
 
     q4 = q.reshape(B, Hkv, group, D)
+    if Dp != D:
+        q4 = jnp.pad(q4, ((0, 0), (0, 0), (0, 0), (0, Dp - D)))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(B, Hkv, n_blk),
         in_specs=[
-            pl.BlockSpec((1, 1, group, D), lambda b, h, i, *_: (b, h, 0, 0),
+            pl.BlockSpec((1, 1, group, Dp), lambda b, h, i, *_: (b, h, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),   # int8 K pages in HBM
             pl.BlockSpec(memory_space=pl.ANY),   # int8 V pages in HBM
             pl.BlockSpec(memory_space=pl.ANY),   # K scales in HBM
             pl.BlockSpec(memory_space=pl.ANY),   # V scales in HBM
         ],
-        out_specs=pl.BlockSpec((1, 1, group, D),
+        out_specs=pl.BlockSpec((1, 1, group, Dp),
                                lambda b, h, i, *_: (b, h, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((pages_per_block, page_size, D), jnp.int8),
-            pltpu.VMEM((pages_per_block, page_size, D), jnp.int8),
+            pltpu.VMEM((pages_per_block, page_size, Dp), k_pages.dtype),
+            pltpu.VMEM((pages_per_block, page_size, Dp), v_pages.dtype),
             pltpu.VMEM((pages_per_block, page_size), jnp.float32),
             pltpu.VMEM((pages_per_block, page_size), jnp.float32),
             pltpu.VMEM((group, 128), jnp.float32),
             pltpu.VMEM((group, 128), jnp.float32),
-            pltpu.VMEM((group, D), jnp.float32),
+            pltpu.VMEM((group, Dp), jnp.float32),
             pltpu.SemaphoreType.DMA((4, pages_per_block)),
         ],
     )
@@ -243,11 +260,11 @@ def paged_attention_quantized(q, k_pages, k_scales, v_pages, v_scales,
     kernel = functools.partial(
         _decode_kernel, page_size=page_size,
         pages_per_block=pages_per_block, mask_value=NEG_BIG,
-        quantized=True)
+        quantized=True, sm_D=D)
 
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((B, Hkv, group, D), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, Hkv, group, Dp), q.dtype),
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary")),
@@ -255,7 +272,7 @@ def paged_attention_quantized(q, k_pages, k_scales, v_pages, v_scales,
     )(lengths.astype(jnp.int32), page_table.reshape(-1).astype(jnp.int32),
       q4, k_pages, v_pages, k_scales.astype(jnp.float32),
       v_scales.astype(jnp.float32))
-    return out.reshape(B, Hq, D)
+    return out[..., :D].reshape(B, Hq, D)
 
 
 def paged_attention_ref(q, k_pages, v_pages, lengths, page_table):
@@ -288,12 +305,15 @@ register("paged_attention", "paged_decode_bf16", ref=paged_attention_ref)(
         v.astype(jnp.bfloat16), l, t, **kw))
 
 
-def _paged_int8(q, k, v, lengths, table, **kw):
-    kq, ks = quantize_pages(k)
-    vq, vs = quantize_pages(v)
+def _paged_quantized(q, k, v, lengths, table, dtype="int8", **kw):
+    kq, ks = quantize_pages(k, dtype)
+    vq, vs = quantize_pages(v, dtype)
     return paged_attention_quantized(
         q.astype(jnp.bfloat16), kq, ks, vq, vs, lengths, table, **kw)
 
 
 register("paged_attention", "paged_decode_int8kv",
-         ref=paged_attention_ref)(_paged_int8)
+         ref=paged_attention_ref)(_paged_quantized)
+register("paged_attention", "paged_decode_fp8kv",
+         ref=paged_attention_ref)(
+    lambda *a, **kw: _paged_quantized(*a, dtype="fp8", **kw))

@@ -109,6 +109,54 @@ def dequantize_int8(values, scales, out_dtype=jnp.float32, block_rows=256,
     return out[:, :K]
 
 
+FP8_MAX = 448.0  # float8_e4m3fn largest normal
+
+
+def quantize_fp8(x, block_rows=256, interpret=None):
+    """Per-row scaled float8_e4m3fn quantization of a 2-D f32/bf16 array
+    (the KV-cache storage tier below int8: same 1 byte/value, but a
+    tapered-precision mantissa instead of uniform steps).
+
+    Returns (values e4m3 (S, K), scales f32 (S,)).
+    """
+    S, K = x.shape
+    Kp = round_up(K, LANES)
+    if Kp != K:
+        x = jnp.pad(x, ((0, 0), (0, Kp - K)))
+    br = min(block_rows, round_up(S, min_sublanes(jnp.int8)))
+
+    def kernel(x_ref, v_ref, s_ref):
+        xf = x_ref[...].astype(jnp.float32)
+        absmax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+        scale = jnp.where(absmax == 0.0, 1.0, absmax / FP8_MAX)
+        v_ref[...] = (xf / scale).astype(v_ref.dtype)
+        s_ref[...] = jnp.broadcast_to(scale, s_ref.shape)
+
+    values, scales = pl.pallas_call(
+        kernel,
+        out_shape=(jax.ShapeDtypeStruct((S, Kp), jnp.float8_e4m3fn),
+                   jax.ShapeDtypeStruct((S, LANES), jnp.float32)),
+        grid=(cdiv(S, br),),
+        in_specs=[pl.BlockSpec((br, Kp), lambda i: (i, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=(pl.BlockSpec((br, Kp), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM),
+                   pl.BlockSpec((br, LANES), lambda i: (i, 0),
+                                memory_space=pltpu.VMEM)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary",)),
+        interpret=use_interpret() if interpret is None else interpret,
+    )(x)
+    return values[:, :K], scales[:, 0]
+
+
+def quantize_fp8_ref(x):
+    xf = x.astype(jnp.float32)
+    absmax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
+    scale = jnp.where(absmax == 0.0, 1.0, absmax / FP8_MAX)
+    return (xf / scale).astype(jnp.float8_e4m3fn), scale[:, 0]
+
+
 def quantize_ref(x):
     xf = x.astype(jnp.float32)
     absmax = jnp.max(jnp.abs(xf), axis=-1, keepdims=True)
@@ -125,3 +173,6 @@ register("quant", "quantize_int8_stochastic",
     lambda x, **kw: quantize_int8(x, stochastic=True, **kw))
 register("quant", "dequantize_int8", ref=None)(
     lambda v, s, **kw: dequantize_int8(v, s, **kw))
+register("quant", "quantize_fp8",
+         ref=lambda x, **kw: quantize_fp8_ref(x))(
+    lambda x, **kw: quantize_fp8(x, **kw))

@@ -27,60 +27,53 @@ from jax import lax
 from jax.sharding import PartitionSpec as P
 from jax import shard_map
 
-from tpukern.ops.attention import NEG_BIG, flash_attention
+from tpukern.ops.attention import (flash_attention,
+                                   flash_attention_carry_init,
+                                   flash_attention_finalize)
 from tpukern.ops.attention_bwd import flash_attention_bwd
 
 
-def _combine(o1, lse1, o2, lse2):
-    """Merge two partial attentions via their log-sum-exp stats."""
-    m = jnp.maximum(lse1, lse2)
-    w1 = jnp.exp(lse1 - m)[..., None]
-    w2 = jnp.exp(lse2 - m)[..., None]
-    denom = w1 + w2
-    o = (o1 * w1 + o2 * w2) / jnp.where(denom == 0.0, 1.0, denom)
-    return o, m + jnp.log(jnp.maximum(w1 + w2, 1e-37))[..., 0]
-
-
-def _empty_partial(q):
-    B, H, S, D = q.shape
-    return (jnp.zeros_like(q, jnp.float32),
-            jnp.full((B, H, S), NEG_BIG, jnp.float32))
-
-
 def _ring_fwd(q, k, v, *, axis, n, causal, sm_scale, block_q, block_k):
-    """One ring pass; returns (o, lse) for the local q shard."""
+    """One ring pass; returns (o, lse) for the local q shard.
+
+    The cross-shard softmax combine rides INSIDE the Pallas kernel: each
+    step passes the running (acc, m, l) online-softmax state in as the
+    kernel's initial scratch and takes the updated state out
+    (flash_attention's carry interface) — no per-step XLA-level
+    exp/renormalize pass over the (B, H, S, D) output."""
     rank = lax.axis_index(axis)
     perm = [(i, (i + 1) % n) for i in range(n)]
 
     fa = functools.partial(flash_attention, sm_scale=sm_scale,
                            block_q=block_q, block_k=block_k,
-                           return_stats=True)
+                           return_carry=True)
 
     def step(carry, i):
-        o_acc, lse_acc, k_cur, v_cur = carry
+        acc, m, l, k_cur, v_cur = carry
         src = (rank - i) % n
         if causal:
             # src < rank: full attention; src == rank: causal diag
-            # block; src > rank: entirely masked -> skip.
-            o_p, lse_p = lax.cond(
+            # block; src > rank: entirely masked -> carry unchanged.
+            acc, m, l = lax.cond(
                 src == rank,
-                lambda: fa(q, k_cur, v_cur, causal=True),
+                lambda: fa(q, k_cur, v_cur, causal=True,
+                           carry=(acc, m, l)),
                 lambda: lax.cond(
                     src < rank,
-                    lambda: fa(q, k_cur, v_cur, causal=False),
-                    lambda: _empty_partial(q)),
+                    lambda: fa(q, k_cur, v_cur, causal=False,
+                               carry=(acc, m, l)),
+                    lambda: (acc, m, l)),
             )
         else:
-            o_p, lse_p = fa(q, k_cur, v_cur, causal=False)
-        o_acc, lse_acc = _combine(o_acc, lse_acc,
-                                  o_p.astype(jnp.float32), lse_p)
+            acc, m, l = fa(q, k_cur, v_cur, causal=False,
+                           carry=(acc, m, l))
         k_nxt = lax.ppermute(k_cur, axis, perm)
         v_nxt = lax.ppermute(v_cur, axis, perm)
-        return (o_acc, lse_acc, k_nxt, v_nxt), None
+        return (acc, m, l, k_nxt, v_nxt), None
 
-    o0, lse0 = _empty_partial(q)
-    (o, lse, _, _), _ = lax.scan(step, (o0, lse0, k, v), jnp.arange(n))
-    return o, lse
+    (acc, m, l, _, _), _ = lax.scan(
+        step, (*flash_attention_carry_init(q), k, v), jnp.arange(n))
+    return flash_attention_finalize(acc, m, l, with_lse=True)
 
 
 def _ring_bwd(q, k, v, o, lse, do, *, axis, n, causal, sm_scale,
