@@ -1,0 +1,81 @@
+"""Continuous batching: staggered admission over shared slots produces
+the same greedy tokens as isolated per-request generation."""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from tpukern.models import Config
+from tpukern.models import serving
+from tpukern.models.batcher import ContinuousBatcher
+from tpukern.models.transformer import init_params
+
+CFG = Config(vocab=128, d_model=128, n_layers=2, n_heads=4, n_kv_heads=2,
+             d_ff=256, max_seq=512)
+N_NEW = 6
+
+
+@pytest.fixture(scope="module")
+def setup():
+    params = init_params(CFG, jax.random.key(0))
+    rng = np.random.default_rng(0)
+    prompts = [rng.integers(0, CFG.vocab, n).astype(np.int32)
+               for n in (17, 40, 9)]
+    return params, prompts
+
+
+def _reference_tokens(params, prompt):
+    """Isolated single-request greedy generation via serving.generate."""
+    out = serving.generate(params, CFG, jnp.asarray(prompt[None]),
+                           n_steps=N_NEW, pages_per_seq=2, page_size=128)
+    return list(np.asarray(out)[0])
+
+
+def test_matches_isolated_generation(setup):
+    """2 slots, 3 requests: the third is admitted mid-stream when a slot
+    frees up; every request's tokens == its isolated generation."""
+    params, prompts = setup
+    refs = [_reference_tokens(params, p) for p in prompts]
+
+    cb = ContinuousBatcher(params, CFG, n_slots=2, pages_per_seq=2,
+                           page_size=128, max_new_tokens=N_NEW,
+                           prompt_buckets=(64,))
+    finished = cb.run([(i, p) for i, p in enumerate(prompts)])
+
+    assert set(finished) == {0, 1, 2}
+    for i, ref in enumerate(refs):
+        assert finished[i] == ref, (i, finished[i], ref)
+
+
+def test_slot_reuse_and_masking(setup):
+    """A freed slot is reused; slots decoding while another admits are
+    unaffected (the admission-isolation property continuous batching
+    needs)."""
+    params, prompts = setup
+    cb = ContinuousBatcher(params, CFG, n_slots=1, pages_per_seq=2,
+                           page_size=128, max_new_tokens=3,
+                           prompt_buckets=(64,))
+    cb.add_request("a", prompts[0])
+    assert cb.free_slots() == []
+    while cb.active.any():
+        cb.step()
+    assert "a" in cb.finished and len(cb.finished["a"]) == 3
+    # slot freed -> admit again
+    slot = cb.add_request("b", prompts[2])
+    assert slot == 0
+    while cb.active.any():
+        cb.step()
+    assert len(cb.finished["b"]) == 3
+
+
+def test_eos_frees_slot(setup):
+    """EOS terminates a request before the token budget."""
+    params, prompts = setup
+    ref = _reference_tokens(params, prompts[0])
+    eos = ref[2]  # force an early stop at the 3rd generated token
+    cb = ContinuousBatcher(params, CFG, n_slots=1, pages_per_seq=2,
+                           page_size=128, max_new_tokens=N_NEW,
+                           prompt_buckets=(64,), eos_id=int(eos))
+    cb.run([("x", prompts[0])])
+    assert cb.finished["x"] == ref[:3]

@@ -1,0 +1,166 @@
+"""Continuous batching: a slot scheduler over the paged serving path.
+
+The reference stops at kernels; its serving intent lives in the Triton
+paged-FA / prefix-prefill kernels (kernels/openai-triton/). This module
+is the vLLM-style driver above tpukern.models.serving: B_max slots share
+one paged KV pool; requests are admitted into free slots mid-stream
+(prefill writes the new sequence's pages while other slots keep their
+state), every step decodes ALL active slots in one batched paged-decode
+kernel call, and finished sequences (EOS or token budget) free their
+slot immediately for the next request.
+
+XLA-friendly by construction: prompts are padded to a bucket length (one
+prefill compilation per bucket), the decode step is a single fixed-shape
+jitted function, and slot state lives in the fixed-size KVCache — no
+recompilation as requests come and go.
+"""
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpukern.models.serving import (KVCache, decode_step, init_cache,
+                                    prefill)
+
+
+def _bucket(n, buckets):
+    for b in buckets:
+        if n <= b:
+            return b
+    raise ValueError(f"prompt length {n} exceeds largest bucket "
+                     f"{buckets[-1]}")
+
+
+class ContinuousBatcher:
+    """Admit / step / collect loop over a fixed slot pool.
+
+    >>> cb = ContinuousBatcher(params, cfg, n_slots=4, pages_per_seq=8)
+    >>> cb.add_request("a", prompt_ids)       # any time a slot is free
+    >>> cb.step()                             # one token for every slot
+    >>> cb.finished                           # {request_id: [token, ...]}
+    """
+
+    def __init__(self, params, cfg, n_slots, pages_per_seq, page_size=128,
+                 eos_id=None, max_new_tokens=64, prompt_buckets=(64, 128),
+                 greedy=True, seed=0):
+        self.params = params
+        self.cfg = cfg
+        self.n_slots = n_slots
+        self.eos_id = eos_id
+        self.max_new = max_new_tokens
+        self.buckets = tuple(sorted(prompt_buckets))
+        self.greedy = greedy
+        self.key = jax.random.key(seed)
+
+        self.cache = init_cache(cfg, n_slots, pages_per_seq, page_size)
+        self.max_len = pages_per_seq * page_size
+        self.active = np.zeros(n_slots, bool)
+        self.last_tok = np.zeros(n_slots, np.int32)
+        self.n_generated = np.zeros(n_slots, np.int32)
+        self.slot_request = [None] * n_slots
+        self.outputs = {}      # request_id -> [tokens so far]
+        self.finished = {}     # request_id -> [tokens]
+
+        self._decode = jax.jit(
+            lambda p, toks, cache, act: decode_step(p, cfg, toks, cache,
+                                                    active=act))
+        self._prefill = {}     # bucket -> jitted single-slot prefill
+
+    # -- admission ---------------------------------------------------------
+
+    def free_slots(self):
+        return [i for i in range(self.n_slots) if not self.active[i]]
+
+    def _prefill_fn(self, bucket):
+        """Jitted single-slot prefill, one compilation per bucket length:
+        runs on a 1-sequence view of the shared cache (the slot's page-
+        table row + a zero start), then scatters lengths back."""
+        if bucket in self._prefill:
+            return self._prefill[bucket]
+        cfg = self.cfg
+
+        def fn(params, tokens, true_len, cache, slot):
+            view = KVCache(
+                cache.k_pages, cache.v_pages,
+                jax.lax.dynamic_slice_in_dim(cache.page_table, slot, 1),
+                jnp.zeros((1,), jnp.int32))
+            logits, view = prefill(params, cfg, tokens, view,
+                                   last_index=true_len[None] - 1)
+            lengths = cache.lengths.at[slot].set(true_len)
+            return logits[0], KVCache(view.k_pages, view.v_pages,
+                                      cache.page_table, lengths)
+
+        self._prefill[bucket] = jax.jit(fn)
+        return self._prefill[bucket]
+
+    def add_request(self, request_id, prompt_ids):
+        """Admit a prompt into a free slot (raises if none free)."""
+        slots = self.free_slots()
+        if not slots:
+            raise RuntimeError("no free slot")
+        slot = slots[0]
+        prompt_ids = np.asarray(prompt_ids, np.int32)
+        true_len = len(prompt_ids)
+        assert true_len + self.max_new <= self.max_len, "prompt too long"
+        bucket = _bucket(true_len, self.buckets)
+        padded = np.zeros(bucket, np.int32)
+        padded[:true_len] = prompt_ids
+
+        logits, self.cache = self._prefill_fn(bucket)(
+            self.params, jnp.asarray(padded[None]),
+            jnp.int32(true_len), self.cache, jnp.int32(slot))
+        self.active[slot] = True
+        self.n_generated[slot] = 0
+        self.slot_request[slot] = request_id
+        self.outputs[request_id] = []
+        self.last_tok[slot] = int(self._sample(logits[None])[0])
+        return slot
+
+    def _sample(self, logits):
+        if self.greedy:
+            return np.asarray(jnp.argmax(logits, -1), np.int32)
+        self.key, sub = jax.random.split(self.key)
+        return np.asarray(jax.random.categorical(sub, logits), np.int32)
+
+    # -- decode ------------------------------------------------------------
+
+    def step(self):
+        """One decode step across all slots; collects tokens for active
+        slots and frees slots that hit EOS or the token budget."""
+        if not self.active.any():
+            return 0
+        logits, self.cache = self._decode(
+            self.params, jnp.asarray(self.last_tok), self.cache,
+            jnp.asarray(self.active))
+        next_tok = self._sample(logits)
+        n_emitted = 0
+        for slot in range(self.n_slots):
+            if not self.active[slot]:
+                continue
+            tok = int(self.last_tok[slot])
+            rid = self.slot_request[slot]
+            self.outputs[rid].append(tok)
+            self.n_generated[slot] += 1
+            n_emitted += 1
+            done = (tok == self.eos_id if self.eos_id is not None
+                    else False) or self.n_generated[slot] >= self.max_new
+            if done:
+                self.active[slot] = False
+                self.finished[rid] = self.outputs.pop(rid)
+                self.slot_request[slot] = None
+            else:
+                self.last_tok[slot] = int(next_tok[slot])
+        return n_emitted
+
+    def run(self, requests, max_steps=10_000):
+        """Drive a full workload: requests is [(id, prompt_ids), ...];
+        admits whenever a slot frees up, steps until all finish."""
+        pending = list(requests)
+        for _ in range(max_steps):
+            while pending and self.free_slots():
+                rid, prompt = pending.pop(0)
+                self.add_request(rid, prompt)
+            if not pending and not self.active.any():
+                break
+            self.step()
+        return self.finished

@@ -25,6 +25,7 @@ from tpukern.ops.rmsnorm import rms_norm
 from tpukern.ops.rope import make_cos_sin, rope_cached
 
 
+@jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class KVCache:
     k_pages: Any      # (L, Hkv, P, page, D)
@@ -60,9 +61,14 @@ def _write_tokens(pages, layer, new, table, start):
     B, Hkv, T, D = new.shape
     page_size = pages.shape[3]
 
+    pages_per_seq = table.shape[1]
+    max_pos = pages_per_seq * page_size - 1
+
     def per_seq(pages, new_b, table_b, start_b):
         def per_tok(pages, t):
-            pos = start_b + t
+            # clamp so an already-full (or inactive, see decode_step's
+            # `active` mask) sequence can't index past its page range
+            pos = jnp.minimum(start_b + t, max_pos)
             phys = table_b[pos // page_size]
             pages = jax.lax.dynamic_update_slice(
                 pages,
@@ -111,9 +117,13 @@ def _mlp(h, lp):
     return (jax.nn.gelu(h @ lp["w1"]) @ lp["w2"])
 
 
-def prefill(params, cfg: Config, tokens, cache: KVCache):
+def prefill(params, cfg: Config, tokens, cache: KVCache, last_index=None):
     """Process a full prompt (B, T): causal FA-2 over the prompt, write
-    K/V into the cache pages, return next-token logits (B, vocab)."""
+    K/V into the cache pages, return next-token logits (B, vocab).
+
+    last_index (B,) int32 selects which position's hidden state feeds the
+    logits (default T-1) — continuous batching pads prompts to a bucket
+    length and reads the logits at the true last token."""
     B, T = tokens.shape
     h = jnp.take(params["embed"], tokens, axis=0)
     start = cache.lengths
@@ -129,17 +139,26 @@ def prefill(params, cfg: Config, tokens, cache: KVCache):
         h = h + _mlp(hn.reshape(B * T, -1), lp).reshape(h.shape)
         k_pages = _write_tokens(k_pages, li, k, cache.page_table, start)
         v_pages = _write_tokens(v_pages, li, v, cache.page_table, start)
-    hn = rms_norm(h[:, -1], params["lnf"])
+    if last_index is None:
+        h_last = h[:, -1]
+    else:
+        h_last = jnp.take_along_axis(
+            h, last_index[:, None, None].astype(jnp.int32), axis=1)[:, 0]
+    hn = rms_norm(h_last, params["lnf"])
     logits = (hn @ params["head"]).astype(jnp.float32)
+    n_new = T if last_index is None else last_index + 1
     new_cache = KVCache(k_pages, v_pages, cache.page_table,
-                        cache.lengths + T)
+                        cache.lengths + n_new)
     return logits, new_cache
 
 
-def decode_step(params, cfg: Config, last_tokens, cache: KVCache):
+def decode_step(params, cfg: Config, last_tokens, cache: KVCache,
+                active=None):
     """One continuous-batching decode step: last_tokens (B,) -> logits
     (B, vocab). Attention runs the paged-decode Pallas kernel against the
-    page pool (ops/paged_attention.py)."""
+    page pool (ops/paged_attention.py). active (B,) bool masks which
+    slots advance (inactive slots' lengths don't move; their page writes
+    land clamped at the slot's last position and are never read)."""
     B = last_tokens.shape[0]
     h = jnp.take(params["embed"], last_tokens, axis=0)[:, None, :]  # (B,1,d)
     positions = cache.lengths[:, None]  # (B, 1)
@@ -161,8 +180,9 @@ def decode_step(params, cfg: Config, last_tokens, cache: KVCache):
         h = h + _mlp(hn.reshape(B, -1), lp).reshape(h.shape)
     hn = rms_norm(h[:, 0], params["lnf"])
     logits = (hn @ params["head"]).astype(jnp.float32)
+    adv = 1 if active is None else active.astype(jnp.int32)
     new_cache = KVCache(k_pages, v_pages, cache.page_table,
-                        cache.lengths + 1)
+                        cache.lengths + adv)
     return logits, new_cache
 
 
