@@ -172,6 +172,45 @@ def test_tail_shapes_stats(rng):
                                rtol=1e-5, atol=1e-5)
 
 
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_carry_chain_matches_single_call(dtype, rng):
+    """carry/return_carry: chaining the kernel over two KV halves (the
+    in-kernel ring-attention combine) == one call over the full KV."""
+    B, H, S, D = 1, 2, 256, 64
+    q = jnp.asarray(rng.standard_normal((B, H, S, D)), dtype)
+    k = jnp.asarray(rng.standard_normal((B, H, 2 * S, D)), dtype)
+    v = jnp.asarray(rng.standard_normal((B, H, 2 * S, D)), dtype)
+    full, lse_full = attn.flash_attention(q, k, v, block_q=128,
+                                          block_k=128, return_stats=True)
+    carry = attn.flash_attention_carry_init(q)
+    for half in (slice(0, S), slice(S, 2 * S)):
+        carry = attn.flash_attention(q, k[:, :, half], v[:, :, half],
+                                     block_q=128, block_k=128,
+                                     carry=carry, return_carry=True)
+    o, lse = attn.flash_attention_finalize(*carry, dtype=dtype,
+                                           with_lse=True)
+    tol = 1e-5 if dtype == jnp.float32 else 3e-2
+    np.testing.assert_allclose(np.asarray(o, np.float32),
+                               np.asarray(full, np.float32),
+                               rtol=tol, atol=tol)
+    np.testing.assert_allclose(np.asarray(lse), np.asarray(lse_full),
+                               rtol=1e-5, atol=1e-3)
+
+
+def test_carry_neutral_init_is_identity(rng):
+    """A single carried call from the neutral carry == the plain call."""
+    q = jnp.asarray(rng.standard_normal((1, 2, 128, 64)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((1, 2, 256, 64)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((1, 2, 256, 64)), jnp.float32)
+    plain = attn.flash_attention(q, k, v, block_q=128, block_k=128)
+    carry = attn.flash_attention(q, k, v, block_q=128, block_k=128,
+                                 carry=attn.flash_attention_carry_init(q),
+                                 return_carry=True)
+    o = attn.flash_attention_finalize(*carry)
+    np.testing.assert_allclose(np.asarray(o), np.asarray(plain),
+                               rtol=1e-5, atol=1e-5)
+
+
 @pytest.mark.parametrize("gqa", [False, True])
 @pytest.mark.parametrize("causal", [False, True])
 @pytest.mark.parametrize("alibi", [False, True])
