@@ -213,6 +213,18 @@ def flash_attention(q, k, v, *, causal=False, sm_scale=None,
     flash_attention_finalize(acc, m, l). A neutral initial carry comes
     from flash_attention_carry_init(q).
     """
+    # Auto-dispatch: at D <= 64 the transposed-PV kernel is ~1.12x faster
+    # (both matmuls run half-MXU-width in the standard layout; see
+    # _fa_tpv_kernel). Only when the caller asked for defaults and no
+    # feature the tpv kernel lacks — explicit blocks mean a tuned tier.
+    if (q.shape[-1] <= 64 and block_q is None and block_k is None
+            and alibi_slopes is None and not return_stats
+            and carry is None and not return_carry
+            and acc_dtype == jnp.float32):
+        return flash_attention_tpv(q, k, v, causal=causal,
+                                   sm_scale=sm_scale,
+                                   causal_offset=causal_offset,
+                                   interpret=interpret)
     orig_dtype = q.dtype
     q, k, v = (to_kernel_dtype(t) for t in (q, k, v))
     B, Hq, Sq, D = q.shape
@@ -367,6 +379,152 @@ def flash_attention_finalize(acc, m, l, dtype=None, with_lse=False):
     return o
 
 
+def _fa_tpv_kernel(qT_ref, k_ref, vT_ref, o_ref, m_ref, l_ref, acc_ref,
+                   *, causal, block_q, block_k, causal_offset, kv_len,
+                   use_exp2):
+    """Transposed-PV online-softmax body: scores are computed as
+    sT = K @ Q^T (bk, bq) and the output as accT = V^T @ P^T (D, bq).
+
+    Why: at D = 64 the standard layout runs BOTH matmuls at half MXU
+    width (QK^T contracts over D=64, PV outputs width D=64). Transposing
+    keeps QK^T at its unavoidable D-deep contraction but makes PV
+    full-rate (contraction block_k, output width block_q) — the same
+    width economics behind the reference's ldmatrix.x2.trans B-operand
+    loads (flash_attn_mma_split_q.cu:470-534). Softmax statistics become
+    lane vectors (1, bq) reduced over sublanes, the VPU's cheap axis."""
+    qi = pl.program_id(2)
+    ki = pl.program_id(3)
+
+    @pl.when(ki == 0)
+    def _():
+        m_ref[...] = jnp.full_like(m_ref, NEG_BIG)
+        l_ref[...] = jnp.zeros_like(l_ref)
+        acc_ref[...] = jnp.zeros_like(acc_ref)
+
+    if causal:
+        should_run = (qi + 1) * block_q - 1 + causal_offset >= ki * block_k
+    else:
+        should_run = True
+    prec = None if use_exp2 else jax.lax.Precision.HIGHEST
+
+    @pl.when(should_run)
+    def _():
+        qT = qT_ref[0, 0]                                  # (D, bq)
+        k = k_ref[0, 0]                                    # (bk, D)
+        sT = jax.lax.dot_general(
+            k, qT, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)  # (bk, bq)
+        need_mask = causal or kv_len is not None
+        if need_mask:
+            kv_pos = (jax.lax.broadcasted_iota(jnp.int32, sT.shape, 0)
+                      + ki * block_k)
+        if causal:
+            q_pos = (jax.lax.broadcasted_iota(jnp.int32, sT.shape, 1)
+                     + qi * block_q)
+            sT = jnp.where(kv_pos <= q_pos + causal_offset, sT, NEG_BIG)
+        if kv_len is not None:
+            sT = jnp.where(kv_pos < kv_len, sT, NEG_BIG)
+
+        exp_fn = jnp.exp2 if use_exp2 else jnp.exp
+        m_prev = m_ref[:1]                                 # (1, bq)
+        l_prev = l_ref[:1]
+        m_cur = jnp.max(sT, axis=0, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_cur)
+        alpha = exp_fn(m_prev - m_next)
+        pT = exp_fn(sT - m_next)
+        l_ref[:1] = alpha * l_prev + jnp.sum(pT, axis=0, keepdims=True)
+        m_ref[:1] = m_next
+        vT = vT_ref[0, 0]                                  # (D, bk)
+        pv = jax.lax.dot_general(
+            vT, pT.astype(vT.dtype),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)  # (D, bq)
+        acc_ref[...] = acc_ref[...] * alpha + pv
+
+    @pl.when(ki == pl.num_programs(3) - 1)
+    def _():
+        l = l_ref[:1]
+        l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
+        o_ref[0, 0] = (acc_ref[...] * l_inv).astype(o_ref.dtype)
+
+
+def flash_attention_tpv(q, k, v, *, causal=False, sm_scale=None,
+                        block_q=None, block_k=None, causal_offset=0,
+                        interpret=None):
+    """Transposed-PV FA-2 forward (see _fa_tpv_kernel). Same contract as
+    flash_attention for o; the (B,H,S,D) <-> (B,H,D,S) transposes of Q, V
+    and O happen at the XLA boundary (~3 HBM passes, <2% of the kernel's
+    time at S=8192) so callers keep the standard layout."""
+    orig_dtype = q.dtype
+    q, k, v = (to_kernel_dtype(t) for t in (q, k, v))
+    B, Hq, Sq, D = q.shape
+    _, Hkv, Skv, _ = k.shape
+    assert Hq % Hkv == 0
+    group = Hq // Hkv
+    if sm_scale is None:
+        sm_scale = 1.0 / math.sqrt(D)
+    use_exp2 = jnp.dtype(orig_dtype) != jnp.float32
+    q = (q.astype(jnp.float32)
+         * (sm_scale * (LOG2E if use_exp2 else 1.0))).astype(q.dtype)
+    # v5e sweep (BENCH_NOTES round 2): (2048,1024) best for D<=64, both
+    # causal and not; larger D is better served by the standard kernel
+    if block_q is None:
+        block_q = 2048 if D <= 64 else 1024 if D <= 128 else 512
+    if block_k is None:
+        block_k = 1024
+    bq = min(block_q, Sq)
+    bk = min(block_k, Skv)
+    Sq_p, Skv_p = -(-Sq // bq) * bq, -(-Skv // bk) * bk
+    if Sq_p != Sq:
+        q = jnp.pad(q, ((0, 0), (0, 0), (0, Sq_p - Sq), (0, 0)))
+    if Skv_p != Skv:
+        k = jnp.pad(k, ((0, 0), (0, 0), (0, Skv_p - Skv), (0, 0)))
+        v = jnp.pad(v, ((0, 0), (0, 0), (0, Skv_p - Skv), (0, 0)))
+    qT = jnp.swapaxes(q, -1, -2)                      # (B, Hq, D, Sq_p)
+    vT = jnp.swapaxes(v, -1, -2)                      # (B, Hkv, D, Skv_p)
+    grid = (B, Hq, cdiv(Sq_p, bq), cdiv(Skv_p, bk))
+
+    kernel = functools.partial(
+        _fa_tpv_kernel, causal=causal, block_q=bq, block_k=bk,
+        causal_offset=causal_offset,
+        kv_len=Skv if Skv % bk else None, use_exp2=use_exp2)
+
+    oT = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, Hq, D, Sq_p), q.dtype),
+        grid=grid,
+        in_specs=[
+            pl.BlockSpec((1, 1, D, bq), lambda b, h, i, j: (b, h, 0, i),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, bk, D),
+                         lambda b, h, i, j, _g=group: (b, h // _g, j, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1, 1, D, bk),
+                         lambda b, h, i, j, _g=group: (b, h // _g, 0, j),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, D, bq),
+                               lambda b, h, i, j: (b, h, 0, i),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((8, bq), jnp.float32),     # m (row 0 live)
+            pltpu.VMEM((8, bq), jnp.float32),     # l
+            pltpu.VMEM((D, bq), jnp.float32),     # transposed accumulator
+        ],
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary")),
+        cost_estimate=pl.CostEstimate(
+            flops=int(4 * B * Hq * Sq * Skv * D * (0.5 if causal else 1.0)),
+            bytes_accessed=int((q.size + k.size + v.size + q.size)
+                               * q.dtype.itemsize),
+            transcendentals=int(B * Hq * Sq * Skv),
+        ),
+        interpret=use_interpret() if interpret is None else interpret,
+    )(qT, k, vT)
+    return jnp.swapaxes(oT, -1, -2)[:, :, :Sq].astype(orig_dtype)
+
+
 def attention_ref(q, k, v, *, causal=False, sm_scale=None,
                   alibi_slopes=None):
     """Unfused XLA reference (the reference harness's `unfused attention`,
@@ -510,6 +668,17 @@ for _name, _dt, _kw in _VARIANTS:
         return flash_attention(q.astype(_dt), k.astype(_dt), v.astype(_dt),
                                **{**_kw, **kw})
     register("attention", _name, ref=attention_ref, flops=_fa_flops)(_fn)
+
+def _fn_tpv(q, k, v, **kw):
+    _check_headdim("mha_splitq_bf16_tpv", q)
+    bf = jnp.bfloat16
+    return flash_attention_tpv(q.astype(bf), k.astype(bf), v.astype(bf),
+                               **kw)
+
+
+MAX_HEADDIM["mha_splitq_bf16_tpv"] = 256
+register("attention", "mha_splitq_bf16_tpv", ref=attention_ref,
+         flops=_fa_flops)(_fn_tpv)
 
 register("attention", "mha_xla_sdpa", ref=attention_ref, flops=_fa_flops,
          tags=("baseline",))(
