@@ -294,3 +294,23 @@ def test_headdim_limit_enforced(rng):
     q, k, v = _qkv(rng, 1, 1, 128, 256, jnp.bfloat16)
     with pytest.raises(ValueError, match="head dim"):
         registry.get("attention", "mha_splitq_bf16_hyper").fn(q, k, v)
+
+
+@pytest.mark.parametrize("window", [64, 100, 256])
+def test_sliding_window(window, rng):
+    """Sliding-window causal attention == explicit banded-mask reference;
+    out-of-band blocks are skipped (FLOPs ~ S*window)."""
+    B, H, S, D = 1, 2, 512, 64
+    q = jnp.asarray(rng.standard_normal((B, H, S, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, H, S, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, H, S, D)), jnp.float32)
+    out = attn.flash_attention(q, k, v, causal=True, window=window,
+                               block_q=128, block_k=128)
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, k) / np.sqrt(D)
+    rows = np.arange(S)[:, None]
+    cols = np.arange(S)[None, :]
+    band = (cols <= rows) & (cols >= rows - window + 1)
+    s = jnp.where(jnp.asarray(band), s, -jnp.inf)
+    ref = jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(s, axis=-1), v)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)

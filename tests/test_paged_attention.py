@@ -1,5 +1,6 @@
 """Paged-KV decode attention vs XLA gather reference."""
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 import pytest
@@ -102,3 +103,36 @@ def test_paged_decode_int8_kv(rng):
     np.testing.assert_allclose(np.asarray(out, np.float64),
                                np.asarray(ref, np.float64),
                                rtol=5e-2, atol=5e-2)
+
+
+def test_paged_decode_sliding_window(rng):
+    """Windowed decode == reference restricted to the last W tokens."""
+    import math
+    B, Hq, Hkv, D = 2, 4, 2, 64
+    page_size, pages_per_seq, P = 16, 8, 32
+    W = 40
+    q = jnp.asarray(rng.standard_normal((B, Hq, D)), jnp.float32)
+    k_pages = jnp.asarray(rng.standard_normal((Hkv, P, page_size, D)),
+                          jnp.float32)
+    v_pages = jnp.asarray(rng.standard_normal((Hkv, P, page_size, D)),
+                          jnp.float32)
+    lengths = jnp.asarray([100, 37], jnp.int32)
+    table = jnp.asarray(
+        rng.permutation(P)[: B * pages_per_seq].reshape(B, pages_per_seq),
+        jnp.int32)
+    out = pa.paged_attention(q, k_pages, v_pages, lengths, table,
+                             pages_per_block=2, window=W)
+    # reference over the full history with positions < length - W masked
+    Hk, _, _, _ = k_pages.shape
+    S = pages_per_seq * page_size
+    k_seq = k_pages[:, table].transpose(1, 0, 2, 3, 4).reshape(B, Hkv, S, D)
+    v_seq = v_pages[:, table].transpose(1, 0, 2, 3, 4).reshape(B, Hkv, S, D)
+    qf = q.reshape(B, Hkv, Hq // Hkv, D)
+    s = jnp.einsum("bhgd,bhkd->bhgk", qf, k_seq) / math.sqrt(D)
+    pos = jnp.arange(S)[None, None, None, :]
+    lb = lengths[:, None, None, None]
+    s = jnp.where((pos < lb) & (pos >= lb - W), s, -jnp.inf)
+    p = jax.nn.softmax(s, axis=-1)
+    ref = jnp.einsum("bhgk,bhkd->bhgd", p, v_seq).reshape(B, Hq, D)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)

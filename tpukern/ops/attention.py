@@ -58,7 +58,7 @@ MAX_HEADDIM = {
 
 def _fa_kernel(*refs, causal, block_q, block_k, with_stats,
                has_alibi, causal_offset=0, kv_len=None, use_exp2=True,
-               has_carry_in=False, carry_out=False):
+               has_carry_in=False, carry_out=False, window=None):
     """Online-softmax body, by default in log2 space: q arrives pre-scaled
     by sm_scale*log2(e), so p = exp2(s - m) uses the VPU's fast exp2 and
     saves one multiply per score element (the rescale-then-update
@@ -116,6 +116,13 @@ def _fa_kernel(*refs, causal, block_q, block_k, with_stats,
         # Run only if the block intersects the causal lower triangle
         # (shifted by causal_offset for prefill-with-cache).
         should_run = (qi + 1) * block_q - 1 + causal_offset >= ki * block_k
+        if window is not None:
+            # ... and isn't entirely below the sliding window's lower edge
+            # (oldest visible kv for the block's last row)
+            should_run = jnp.logical_and(
+                should_run,
+                (ki + 1) * block_k - 1
+                >= qi * block_q + causal_offset - window + 1)
     else:
         should_run = True
 
@@ -147,6 +154,11 @@ def _fa_kernel(*refs, causal, block_q, block_k, with_stats,
             s = s + slopes_ref[h] * (cols - rows).astype(jnp.float32)
         if causal:
             s = jnp.where(cols <= rows + causal_offset, s, NEG_BIG)
+            if window is not None:
+                # sliding window: only the last `window` kv positions
+                # relative to each query row stay visible
+                s = jnp.where(cols >= rows + causal_offset - window + 1,
+                              s, NEG_BIG)
         if kv_len is not None:
             s = jnp.where(cols < kv_len, s, NEG_BIG)
 
@@ -193,8 +205,8 @@ def _fa_kernel(*refs, causal, block_q, block_k, with_stats,
 def flash_attention(q, k, v, *, causal=False, sm_scale=None,
                     block_q=None, block_k=None, acc_dtype=jnp.float32,
                     return_stats=False, alibi_slopes=None,
-                    causal_offset=0, carry=None, return_carry=False,
-                    interpret=None):
+                    causal_offset=0, window=None, carry=None,
+                    return_carry=False, interpret=None):
     """FA-2 forward. q: (B, Hq, Sq, D); k, v: (B, Hkv, Skv, D), Hkv | Hq.
 
     alibi_slopes: optional (Hq,) per-head ALiBi slopes (linear position
@@ -204,6 +216,11 @@ def flash_attention(q, k, v, *, causal=False, sm_scale=None,
     kernels/openai-triton/prefix_prefill.py analog). Returns o (B,Hq,Sq,D);
     with return_stats also lse (B,Hq,Sq) for cross-shard softmax
     combination (ring attention / context parallelism).
+
+    window (with causal=True) restricts each query to the last `window`
+    key positions (sliding-window / local attention, mistral-style);
+    blocks entirely outside the band are skipped, so FLOPs scale with
+    S*window rather than S^2.
 
     carry / return_carry chain the online-softmax state ACROSS calls
     (the in-kernel ring-attention combine): carry = (acc (B,Hq,Sq,D) f32
@@ -219,7 +236,7 @@ def flash_attention(q, k, v, *, causal=False, sm_scale=None,
     # feature the tpv kernel lacks — explicit blocks mean a tuned tier.
     if (q.shape[-1] <= 64 and block_q is None and block_k is None
             and alibi_slopes is None and not return_stats
-            and carry is None and not return_carry
+            and carry is None and not return_carry and window is None
             and acc_dtype == jnp.float32):
         return flash_attention_tpv(q, k, v, causal=causal,
                                    sm_scale=sm_scale,
@@ -269,12 +286,16 @@ def flash_attention(q, k, v, *, causal=False, sm_scale=None,
     has_alibi = alibi_slopes is not None
     assert not (return_carry and return_stats), \
         "return_carry already includes the softmax stats (m, l)"
+    if window is not None:
+        assert causal, "sliding window requires causal=True"
+        assert window >= 1
     kernel = functools.partial(
         _fa_kernel, causal=causal,
         block_q=bq, block_k=bk, with_stats=return_stats,
         has_alibi=has_alibi, causal_offset=causal_offset,
         kv_len=Skv if Skv % bk else None, use_exp2=use_exp2,
-        has_carry_in=carry is not None, carry_out=return_carry)
+        has_carry_in=carry is not None, carry_out=return_carry,
+        window=window)
 
     # lse carries an 8-wide trailing dim: Mosaic block shapes need the
     # last two dims (8, 128)-aligned or array-sized. Only materialized

@@ -36,7 +36,7 @@ NEG_BIG = -0.7 * 3.4e38
 
 def _decode_kernel(lengths_ref, tables_ref, *refs,
                    page_size, pages_per_block, mask_value,
-                   quantized=False, sm_D=None):
+                   quantized=False, sm_D=None, window=None):
     if quantized:
         (q_ref, k_hbm, v_hbm, ks_hbm, vs_hbm, o_ref, k_buf, v_buf,
          ks_buf, vs_buf, m_s, l_s, acc_s, sems) = refs
@@ -58,7 +58,12 @@ def _decode_kernel(lengths_ref, tables_ref, *refs,
         l_s[...] = jnp.zeros_like(l_s)
         acc_s[...] = jnp.zeros_like(acc_s)
 
-    @pl.when(blk * bk < length)
+    run = blk * bk < length
+    if window is not None:
+        # sliding window: skip blocks entirely older than the window
+        run = jnp.logical_and(run, (blk + 1) * bk - 1 >= length - window)
+
+    @pl.when(run)
     def _():
         # fetch this block's pages (all DMAs in flight together); int8
         # pages halve the decode DMA traffic, their per-token scales ride
@@ -96,6 +101,8 @@ def _decode_kernel(lengths_ref, tables_ref, *refs,
         s *= 1.0 / math.sqrt(sm_D if sm_D is not None else D)
         pos = blk * bk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(pos < length, s, mask_value)
+        if window is not None:
+            s = jnp.where(pos >= length - window, s, mask_value)
 
         m_prev = m_s[:, :1]
         l_prev = l_s[:, :1]
@@ -124,7 +131,7 @@ def _decode_kernel(lengths_ref, tables_ref, *refs,
 
 
 def paged_attention(q, k_pages, v_pages, lengths, page_table,
-                    *, pages_per_block=4, interpret=None):
+                    *, pages_per_block=4, window=None, interpret=None):
     """Decode attention against a paged KV cache.
 
     q:          (B, Hq, D)           current-token queries
@@ -132,6 +139,9 @@ def paged_attention(q, k_pages, v_pages, lengths, page_table,
     v_pages:    (Hkv, P, page, D)    paged V pool
     lengths:    (B,) int32           live tokens per sequence
     page_table: (B, pages_per_seq)   physical page id per logical page
+    window: only the last `window` live tokens are attended (sliding-
+    window decode; whole page blocks older than the window are skipped,
+    so decode DMA traffic is bounded by the window, not the history).
     Returns (B, Hq, D).
     """
     B, Hq, D = q.shape
@@ -169,7 +179,8 @@ def paged_attention(q, k_pages, v_pages, lengths, page_table,
 
     kernel = functools.partial(
         _decode_kernel, page_size=page_size,
-        pages_per_block=pages_per_block, mask_value=NEG_BIG)
+        pages_per_block=pages_per_block, mask_value=NEG_BIG,
+        window=window)
 
     out = pl.pallas_call(
         kernel,
