@@ -136,3 +136,44 @@ def test_paged_decode_sliding_window(rng):
     ref = jnp.einsum("bhgk,bhkd->bhgd", p, v_seq).reshape(B, Hq, D)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_paged_prefix_prefill(rng):
+    """Multi-token causal attention vs pages (prefix_prefill analog):
+    token t of a T-token chunk sees positions [0, length - T + t]."""
+    B, Hq, Hkv, D, T = 2, 4, 2, 64, 8
+    page_size, pages_per_seq, P = 16, 8, 32
+    q = jnp.asarray(rng.standard_normal((B, Hq, T, D)), jnp.float32)
+    k_pages = jnp.asarray(rng.standard_normal((Hkv, P, page_size, D)),
+                          jnp.float32)
+    v_pages = jnp.asarray(rng.standard_normal((Hkv, P, page_size, D)),
+                          jnp.float32)
+    lengths = jnp.asarray([100, 37], jnp.int32)  # include the T new toks
+    table = jnp.asarray(
+        rng.permutation(P)[: B * pages_per_seq].reshape(B, pages_per_seq),
+        jnp.int32)
+    out = pa.paged_prefill_attention(q, k_pages, v_pages, lengths, table,
+                                     pages_per_block=2)
+    ref = pa.paged_prefill_ref(q, k_pages, v_pages, lengths, table)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_paged_prefix_prefill_matches_decode_at_t1(rng):
+    """T=1 degenerates to the single-token decode kernel's semantics."""
+    B, Hq, Hkv, D = 2, 4, 2, 64
+    page_size, pages_per_seq, P = 16, 4, 8
+    q = jnp.asarray(rng.standard_normal((B, Hq, 1, D)), jnp.float32)
+    k_pages = jnp.asarray(rng.standard_normal((Hkv, P, page_size, D)),
+                          jnp.float32)
+    v_pages = jnp.asarray(rng.standard_normal((Hkv, P, page_size, D)),
+                          jnp.float32)
+    lengths = jnp.asarray([30, 51], jnp.int32)
+    table = jnp.asarray(np.arange(B * pages_per_seq).reshape(B, -1),
+                        jnp.int32)
+    out = pa.paged_prefill_attention(q, k_pages, v_pages, lengths, table,
+                                     pages_per_block=2)[:, :, 0]
+    ref = pa.paged_attention(q[:, :, 0], k_pages, v_pages, lengths, table,
+                             pages_per_block=2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)

@@ -186,6 +186,47 @@ def decode_step(params, cfg: Config, last_tokens, cache: KVCache,
     return logits, new_cache
 
 
+def verify_step(params, cfg: Config, tokens, cache: KVCache):
+    """Score T tokens in one pass against the paged cache: writes their
+    K/V into the pages, runs the paged prefix-prefill kernel per layer
+    (token t sees the cache prefix + tokens <= t), and returns logits at
+    EVERY position (B, T, vocab) — the speculative-decoding verification
+    step (and chunked-prefill continuation)."""
+    from tpukern.ops.paged_attention import paged_prefill_attention
+    B, T = tokens.shape
+    h = jnp.take(params["embed"], tokens, axis=0)
+    start = cache.lengths
+    positions = start[:, None] + jnp.arange(T)[None, :]
+    k_pages, v_pages = cache.k_pages, cache.v_pages
+    for li, lp in enumerate(params["layers"]):
+        hn = rms_norm(h.reshape(B * T, -1), lp["ln1"]).reshape(h.shape)
+        q, k, v = _layer_qkv(hn, lp, cfg, positions)
+        k_pages = _write_tokens(k_pages, li, k, cache.page_table, start)
+        v_pages = _write_tokens(v_pages, li, v, cache.page_table, start)
+        pps = cache.page_table.shape[1]
+        ppb = max(d for d in (4, 2, 1) if pps % d == 0)
+        o = paged_prefill_attention(q, k_pages[li], v_pages[li],
+                                    start + T, cache.page_table,
+                                    pages_per_block=ppb)
+        o = o.transpose(0, 2, 1, 3).reshape(B * T, -1) @ lp["wo"]
+        h = h + o.reshape(B, T, -1)
+        hn = rms_norm(h.reshape(B * T, -1), lp["ln2"]).reshape(h.shape)
+        h = h + _mlp(hn.reshape(B * T, -1), lp).reshape(h.shape)
+    hn = rms_norm(h.reshape(B * T, -1), params["lnf"])
+    logits = (hn @ params["head"]).astype(jnp.float32).reshape(B, T, -1)
+    new_cache = KVCache(k_pages, v_pages, cache.page_table,
+                        cache.lengths + T)
+    return logits, new_cache
+
+
+def rollback(cache: KVCache, new_lengths):
+    """Functional cache rewind: positions beyond new_lengths become dead
+    (they're overwritten before ever being read — the kernels mask
+    pos >= length)."""
+    return KVCache(cache.k_pages, cache.v_pages, cache.page_table,
+                   jnp.asarray(new_lengths, jnp.int32))
+
+
 def generate(params, cfg: Config, prompt, n_steps, pages_per_seq=8,
              page_size=128, greedy=True, key=None):
     """Prefill the prompt then decode n_steps tokens (greedy or sampled).

@@ -1,0 +1,107 @@
+"""Speculative decoding: draft-model proposal + single-pass target
+verification over the paged serving path.
+
+The reference has no serving layer at all; this is the TPU-native step
+beyond its prefix-prefill kernel (kernels/openai-triton/prefix_prefill.py):
+the verification step is exactly one paged prefix-prefill call — gamma+1
+tokens scored against the target's paged KV cache in one kernel sweep —
+so a step that emits j+1 tokens costs the target ONE multi-token pass
+instead of j+1 sequential decode steps.
+
+Greedy acceptance (deterministic): draft token d_i is accepted while it
+equals the target's own greedy choice at that position, so the emitted
+stream is IDENTICAL to target-only greedy decoding — speculation changes
+latency, never output (the invariant the tests pin down).
+
+Cache discipline (both caches functional, lengths-only rollback):
+round invariant = both caches hold exactly the n emitted tokens, with
+one pending token `last` not yet in any cache.
+  1. draft: gamma sequential decode steps propose d_1..d_gamma
+     (draft cache grows to n + gamma: last, d_1..d_{gamma-1} written).
+  2. verify: target scores [last, d_1..d_gamma] in one verify_step
+     (target cache grows to n + gamma + 1); g_i = argmax at position i.
+  3. accept j = longest prefix with d_i == g_{i-1}; emit last, d_1..d_j;
+     new pending last = g_j; roll both caches back to n + j + 1
+     (full acceptance: one draft catch-up step feeds d_gamma first).
+"""
+
+import dataclasses
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from tpukern.models.serving import (decode_step, init_cache, prefill,
+                                    rollback, verify_step)
+
+
+@dataclasses.dataclass
+class SpecStats:
+    rounds: int = 0
+    drafted: int = 0
+    accepted: int = 0
+
+    @property
+    def acceptance_rate(self):
+        return self.accepted / max(1, self.drafted)
+
+
+def speculative_generate(target_params, target_cfg, draft_params,
+                         draft_cfg, prompt, n_steps, *, gamma=4,
+                         pages_per_seq=8, page_size=128,
+                         return_stats=False):
+    """Greedy speculative decoding of n_steps tokens for prompt (1, T).
+
+    Emits exactly the tokens target-only greedy decoding would emit.
+    gamma = draft tokens proposed per round. Returns (1, n_steps) ids
+    (and a SpecStats with the measured acceptance rate)."""
+    B = prompt.shape[0]
+    assert B == 1, "speculative driver is per-sequence"
+    tc = init_cache(target_cfg, B, pages_per_seq, page_size)
+    dc = init_cache(draft_cfg, B, pages_per_seq, page_size)
+
+    t_logits, tc = prefill(target_params, target_cfg, prompt, tc)
+    _, dc = prefill(draft_params, draft_cfg, prompt, dc)
+    last = int(np.asarray(jnp.argmax(t_logits, -1))[0])
+
+    d_step = jax.jit(lambda p, t, c: decode_step(p, draft_cfg, t, c))
+    t_verify = jax.jit(lambda p, t, c: verify_step(p, target_cfg, t, c))
+
+    out = []
+    stats = SpecStats()
+    while len(out) < n_steps:
+        n = int(np.asarray(tc.lengths)[0])
+        g = min(gamma, n_steps - len(out))  # don't overdraft the budget
+        # 1. draft proposals
+        drafts = []
+        cur = last
+        for _ in range(g):
+            dl, dc = d_step(draft_params,
+                            jnp.asarray([cur], jnp.int32), dc)
+            cur = int(np.asarray(jnp.argmax(dl, -1))[0])
+            drafts.append(cur)
+        # 2. one-pass target verification
+        cand = jnp.asarray([[last] + drafts], jnp.int32)   # (1, g+1)
+        vl, tc = t_verify(target_params, cand, tc)
+        greedy = np.asarray(jnp.argmax(vl, -1))[0]          # (g+1,)
+        # 3. longest accepted prefix
+        j = 0
+        while j < g and drafts[j] == int(greedy[j]):
+            j += 1
+        out.append(last)
+        out.extend(drafts[:j])
+        new_last = int(greedy[j])
+        stats.rounds += 1
+        stats.drafted += g
+        stats.accepted += j
+        # cache discipline: both caches -> n + j + 1 live tokens
+        tc = rollback(tc, np.asarray([n + j + 1]))
+        if j == g and g > 0:
+            # full acceptance: draft never saw d_gamma — catch up
+            _, dc = d_step(draft_params,
+                           jnp.asarray([drafts[-1]], jnp.int32), dc)
+        dc = rollback(dc, np.asarray([n + j + 1]))
+        last = new_last
+
+    result = jnp.asarray([out[:n_steps]], jnp.int32)
+    return (result, stats) if return_stats else result

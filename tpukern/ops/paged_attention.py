@@ -286,6 +286,167 @@ def paged_attention_quantized(q, k_pages, k_scales, v_pages, v_scales,
     return out[..., :D].reshape(B, Hq, D)
 
 
+def _prefix_kernel(lengths_ref, tables_ref, *refs, page_size,
+                   pages_per_block, mask_value, n_tok, sm_D):
+    """Multi-token causal decode body: rows are (group, t) pairs flattened
+    to group*n_tok; row (g, t) may see pages positions < lengths[b] - n_tok
+    + t + 1 (its own token was already written into the pages)."""
+    (q_ref, k_hbm, v_hbm, o_ref, k_buf, v_buf, m_s, l_s, acc_s,
+     sems) = refs
+    b = pl.program_id(0)
+    h = pl.program_id(1)
+    blk = pl.program_id(2)
+    n_blk = pl.num_programs(2)
+    bk = page_size * pages_per_block
+    length = lengths_ref[b]           # INCLUDING the n_tok new tokens
+    rows, D = q_ref.shape[2], q_ref.shape[3]
+    pages_per_seq = n_blk * pages_per_block
+
+    @pl.when(blk == 0)
+    def _():
+        m_s[...] = jnp.full_like(m_s, NEG_BIG)
+        l_s[...] = jnp.zeros_like(l_s)
+        acc_s[...] = jnp.zeros_like(acc_s)
+
+    @pl.when(blk * bk < length)
+    def _():
+        copies = []
+        for p in range(pages_per_block):
+            page = tables_ref[b * pages_per_seq + blk * pages_per_block + p]
+            copies.append(pltpu.make_async_copy(
+                k_hbm.at[h, page], k_buf.at[p], sems.at[0, p]))
+            copies.append(pltpu.make_async_copy(
+                v_hbm.at[h, page], v_buf.at[p], sems.at[1, p]))
+        for c in copies:
+            c.start()
+        for c in copies:
+            c.wait()
+
+        q = q_ref[0, 0]                                   # (rows, D)
+        k = k_buf[...].reshape(bk, D)
+        s = jax.lax.dot_general(
+            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32)           # (rows, bk)
+        s *= 1.0 / math.sqrt(sm_D)
+        pos = blk * bk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        # row r is query token t = r % n_tok; it sees positions
+        # < length - n_tok + t + 1 (causal within the new tokens)
+        t = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) % n_tok
+        s = jnp.where(pos < length - n_tok + t + 1, s, mask_value)
+
+        m_prev = m_s[:, :1]
+        l_prev = l_s[:, :1]
+        m_cur = jnp.max(s, axis=-1, keepdims=True)
+        m_next = jnp.maximum(m_prev, m_cur)
+        alpha = jnp.exp(m_prev - m_next)
+        p = jnp.exp(s - m_next)
+        l_s[:, :1] = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
+        m_s[:, :1] = m_next
+        v = v_buf[...].reshape(bk, D)
+        acc_s[...] = (acc_s[...] * alpha
+                      + jax.lax.dot_general(
+                          p.astype(v.dtype), v,
+                          dimension_numbers=(((1,), (0,)), ((), ())),
+                          preferred_element_type=jnp.float32))
+
+    @pl.when(blk == n_blk - 1)
+    def _():
+        l = l_s[:, :1]
+        l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
+        o_ref[0, 0] = (acc_s[...] * l_inv).astype(o_ref.dtype)
+
+
+def paged_prefill_attention(q, k_pages, v_pages, lengths, page_table,
+                            *, pages_per_block=4, interpret=None):
+    """Multi-token causal attention against a paged KV cache (the
+    prefix-prefill / context-attention kernel, reference
+    kernels/openai-triton/prefix_prefill.py adapted from vLLM — here the
+    paged-native Pallas version).
+
+    q: (B, Hq, T, D) — T new tokens per sequence whose K/V have ALREADY
+    been written into the pages; lengths (B,) counts live tokens
+    INCLUDING those T. Token t of sequence b attends positions
+    [0, lengths[b] - T + t]. Used for chunked prefill continuation and
+    speculative-decoding verification. Returns (B, Hq, T, D).
+    """
+    B, Hq, T, D = q.shape
+    Hkv, P, page_size, _ = k_pages.shape
+    pages_per_seq = page_table.shape[1]
+    assert Hq % Hkv == 0
+    group = Hq // Hkv
+    assert pages_per_seq % pages_per_block == 0
+    n_blk = pages_per_seq // pages_per_block
+
+    # rows = (group, t) flattened so one grid cell handles a GQA group's
+    # T tokens in a single MXU operand
+    q4 = q.reshape(B, Hkv, group, T, D).reshape(B, Hkv, group * T, D)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, Hkv, n_blk),
+        in_specs=[
+            pl.BlockSpec((1, 1, group * T, D),
+                         lambda b, h, i, *_: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=pl.BlockSpec((1, 1, group * T, D),
+                               lambda b, h, i, *_: (b, h, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((pages_per_block, page_size, D), k_pages.dtype),
+            pltpu.VMEM((pages_per_block, page_size, D), v_pages.dtype),
+            pltpu.VMEM((group * T, 128), jnp.float32),
+            pltpu.VMEM((group * T, 128), jnp.float32),
+            pltpu.VMEM((group * T, D), jnp.float32),
+            pltpu.SemaphoreType.DMA((2, pages_per_block)),
+        ],
+    )
+
+    kernel = functools.partial(
+        _prefix_kernel, page_size=page_size,
+        pages_per_block=pages_per_block, mask_value=NEG_BIG,
+        n_tok=T, sm_D=D)
+
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, Hkv, group * T, D), q.dtype),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary")),
+        interpret=use_interpret() if interpret is None else interpret,
+    )(lengths.astype(jnp.int32), page_table.reshape(-1).astype(jnp.int32),
+      q4, k_pages, v_pages)
+    return out.reshape(B, Hkv, group, T, D).reshape(B, Hq, T, D)
+
+
+def paged_prefill_ref(q, k_pages, v_pages, lengths, page_table):
+    """XLA gather reference for paged_prefill_attention."""
+    B, Hq, T, D = q.shape
+    Hkv, P, page_size, _ = k_pages.shape
+    group = Hq // Hkv
+    S = page_table.shape[1] * page_size
+    k_seq = k_pages[:, page_table].transpose(1, 0, 2, 3, 4).reshape(
+        B, Hkv, S, D)
+    v_seq = v_pages[:, page_table].transpose(1, 0, 2, 3, 4).reshape(
+        B, Hkv, S, D)
+    qf = q.reshape(B, Hkv, group, T, D).astype(jnp.float32)
+    s = jnp.einsum("bhgtd,bhkd->bhgtk", qf, k_seq.astype(jnp.float32))
+    s *= 1.0 / math.sqrt(D)
+    pos = jnp.arange(S)[None, None, None, None, :]
+    limit = (lengths[:, None, None, None, None] - T
+             + jnp.arange(T)[None, None, None, :, None] + 1)
+    s = jnp.where(pos < limit, s, -jnp.inf)
+    p = jax.nn.softmax(s, axis=-1)
+    o = jnp.einsum("bhgtk,bhkd->bhgtd", p, v_seq.astype(jnp.float32))
+    return o.reshape(B, Hq, T, D).astype(q.dtype)
+
+
+register("paged_attention", "paged_prefix_prefill", ref=paged_prefill_ref)(
+    lambda *a, **kw: paged_prefill_attention(*a, **kw))
+
+
 def paged_attention_ref(q, k_pages, v_pages, lengths, page_table):
     """XLA gather reference."""
     B, Hq, D = q.shape
