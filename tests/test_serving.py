@@ -59,3 +59,41 @@ def test_generate_shapes(setup):
     assert out.shape == (prompt.shape[0], 3)
     assert (np.asarray(out) >= 0).all()
     assert (np.asarray(out) < CFG.vocab).all()
+
+
+def test_verify_step_matches_forward(setup):
+    """verify_step (paged prefix-prefill over T tokens) == the forward
+    pass logits at the same positions: prefill a prompt, then score a
+    4-token continuation in one pass."""
+    params, prompt = setup
+    B, T = prompt.shape
+    cache = serving.init_cache(CFG, B, pages_per_seq=2, page_size=128,
+                               dtype=jnp.float32)
+    logits, cache = serving.prefill(params, CFG, prompt, cache)
+    rng = np.random.default_rng(3)
+    cont = jnp.asarray(rng.integers(0, CFG.vocab, (B, 4)), jnp.int32)
+    vlog, cache2 = serving.verify_step(params, CFG, cont, cache)
+    assert (np.asarray(cache2.lengths) == T + 4).all()
+    full = jnp.concatenate([prompt, cont], axis=1)
+    ref = forward(params, full, CFG)[:, T - 1 + 1:]  # positions T..T+3
+    np.testing.assert_allclose(np.asarray(vlog), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)
+
+
+def test_rollback_then_redecode(setup):
+    """rollback + redecode produces the same logits as never having
+    written the rolled-back tokens (dead positions are unreadable)."""
+    params, prompt = setup
+    B, T = prompt.shape
+    cache = serving.init_cache(CFG, B, pages_per_seq=2, page_size=128,
+                               dtype=jnp.float32)
+    logits, cache = serving.prefill(params, CFG, prompt, cache)
+    tok = jnp.argmax(logits, -1).astype(jnp.int32)
+    ref_logits, _ = serving.decode_step(params, CFG, tok, cache)
+    # write garbage continuation, then roll back and redo
+    junk = jnp.full((B, 3), 7, jnp.int32)
+    _, cache2 = serving.verify_step(params, CFG, junk, cache)
+    cache2 = serving.rollback(cache2, cache.lengths)
+    logits2, _ = serving.decode_step(params, CFG, tok, cache2)
+    np.testing.assert_allclose(np.asarray(logits2), np.asarray(ref_logits),
+                               rtol=1e-5, atol=1e-5)
