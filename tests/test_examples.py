@@ -6,7 +6,8 @@ import sys
 import pytest
 
 EXAMPLES = ["examples/vector_add.py", "examples/tiled_matmul.py",
-            "examples/double_buffered_copy.py"]
+            "examples/double_buffered_copy.py",
+            "examples/serving_pipeline.py"]
 
 
 @pytest.mark.parametrize("path", EXAMPLES)
