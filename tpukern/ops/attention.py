@@ -235,12 +235,13 @@ def flash_attention(q, k, v, *, causal=False, sm_scale=None,
     # _fa_tpv_kernel). Only when the caller asked for defaults and no
     # feature the tpv kernel lacks — explicit blocks mean a tuned tier.
     if (q.shape[-1] <= 64 and block_q is None and block_k is None
-            and alibi_slopes is None and not return_stats
+            and alibi_slopes is None
             and carry is None and not return_carry and window is None
             and acc_dtype == jnp.float32):
         return flash_attention_tpv(q, k, v, causal=causal,
                                    sm_scale=sm_scale,
                                    causal_offset=causal_offset,
+                                   return_stats=return_stats,
                                    interpret=interpret)
     orig_dtype = q.dtype
     q, k, v = (to_kernel_dtype(t) for t in (q, k, v))
@@ -400,9 +401,8 @@ def flash_attention_finalize(acc, m, l, dtype=None, with_lse=False):
     return o
 
 
-def _fa_tpv_kernel(qT_ref, k_ref, vT_ref, o_ref, m_ref, l_ref, acc_ref,
-                   *, causal, block_q, block_k, causal_offset, kv_len,
-                   use_exp2):
+def _fa_tpv_kernel(*refs, causal, block_q, block_k, causal_offset,
+                   kv_len, use_exp2, with_stats=False):
     """Transposed-PV online-softmax body: scores are computed as
     sT = K @ Q^T (bk, bq) and the output as accT = V^T @ P^T (D, bq).
 
@@ -413,6 +413,11 @@ def _fa_tpv_kernel(qT_ref, k_ref, vT_ref, o_ref, m_ref, l_ref, acc_ref,
     width economics behind the reference's ldmatrix.x2.trans B-operand
     loads (flash_attn_mma_split_q.cu:470-534). Softmax statistics become
     lane vectors (1, bq) reduced over sublanes, the VPU's cheap axis."""
+    if with_stats:
+        qT_ref, k_ref, vT_ref, o_ref, lse_ref, m_ref, l_ref, acc_ref = refs
+    else:
+        qT_ref, k_ref, vT_ref, o_ref, m_ref, l_ref, acc_ref = refs
+        lse_ref = None
     qi = pl.program_id(2)
     ki = pl.program_id(3)
 
@@ -467,11 +472,15 @@ def _fa_tpv_kernel(qT_ref, k_ref, vT_ref, o_ref, m_ref, l_ref, acc_ref,
         l = l_ref[:1]
         l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
         o_ref[0, 0] = (acc_ref[...] * l_inv).astype(o_ref.dtype)
+        if with_stats:
+            m_nat = (LN2 * m_ref[:1]) if use_exp2 else m_ref[:1]
+            lse = m_nat + jnp.log(jnp.maximum(l, 1e-37))
+            lse_ref[0, 0] = jnp.broadcast_to(lse, lse_ref.shape[2:])
 
 
 def flash_attention_tpv(q, k, v, *, causal=False, sm_scale=None,
                         block_q=None, block_k=None, causal_offset=0,
-                        interpret=None):
+                        return_stats=False, interpret=None):
     """Transposed-PV FA-2 forward (see _fa_tpv_kernel). Same contract as
     flash_attention for o; the (B,H,S,D) <-> (B,H,D,S) transposes of Q, V
     and O happen at the XLA boundary (~3 HBM passes, <2% of the kernel's
@@ -508,11 +517,24 @@ def flash_attention_tpv(q, k, v, *, causal=False, sm_scale=None,
     kernel = functools.partial(
         _fa_tpv_kernel, causal=causal, block_q=bq, block_k=bk,
         causal_offset=causal_offset,
-        kv_len=Skv if Skv % bk else None, use_exp2=use_exp2)
+        kv_len=Skv if Skv % bk else None, use_exp2=use_exp2,
+        with_stats=return_stats)
 
-    oT = pl.pallas_call(
+    out_shapes = [jax.ShapeDtypeStruct((B, Hq, D, Sq_p), q.dtype)]
+    out_specs = [pl.BlockSpec((1, 1, D, bq),
+                              lambda b, h, i, j: (b, h, 0, i),
+                              memory_space=pltpu.VMEM)]
+    if return_stats:
+        # lse rides as (1, bq) lane rows: 8-sublane block, row 0 live
+        out_shapes.append(
+            jax.ShapeDtypeStruct((B, Hq, 8, Sq_p), jnp.float32))
+        out_specs.append(
+            pl.BlockSpec((1, 1, 8, bq), lambda b, h, i, j: (b, h, 0, i),
+                         memory_space=pltpu.VMEM))
+
+    res = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((B, Hq, D, Sq_p), q.dtype),
+        out_shape=tuple(out_shapes),
         grid=grid,
         in_specs=[
             pl.BlockSpec((1, 1, D, bq), lambda b, h, i, j: (b, h, 0, i),
@@ -524,9 +546,7 @@ def flash_attention_tpv(q, k, v, *, causal=False, sm_scale=None,
                          lambda b, h, i, j, _g=group: (b, h // _g, 0, j),
                          memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, 1, D, bq),
-                               lambda b, h, i, j: (b, h, 0, i),
-                               memory_space=pltpu.VMEM),
+        out_specs=tuple(out_specs),
         scratch_shapes=[
             pltpu.VMEM((8, bq), jnp.float32),     # m (row 0 live)
             pltpu.VMEM((8, bq), jnp.float32),     # l
@@ -543,7 +563,10 @@ def flash_attention_tpv(q, k, v, *, causal=False, sm_scale=None,
         ),
         interpret=use_interpret() if interpret is None else interpret,
     )(qT, k, vT)
-    return jnp.swapaxes(oT, -1, -2)[:, :, :Sq].astype(orig_dtype)
+    o = jnp.swapaxes(res[0], -1, -2)[:, :, :Sq].astype(orig_dtype)
+    if return_stats:
+        return o, res[1][:, :, 0, :Sq]
+    return o
 
 
 def attention_ref(q, k, v, *, causal=False, sm_scale=None,
