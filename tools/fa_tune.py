@@ -22,7 +22,7 @@ def main():
 
     from tpukern.core import registry
     from tpukern.harness.bench import device_time
-    from tpukern.ops.attention import flash_attention
+    from tpukern.ops.attention import flash_attention, flash_attention_tpv
 
     cases = [
         # (B, H, S, D, causal, candidate (bq, bk) list)
@@ -59,6 +59,17 @@ def main():
             except Exception as e:
                 print(f"  splitq ({bq},{bk}): FAIL {str(e)[:80]}",
                       flush=True)
+        if D <= 256:  # transposed-PV twin (the D<=64 dispatch winner)
+            for (bq, bk) in blocks:
+                try:
+                    v_t = t(lambda q, k, v, _bq=bq, _bk=bk:
+                            flash_attention_tpv(q, k, v, causal=causal,
+                                                block_q=_bq, block_k=_bk))
+                    print(f"  tpv ({bq},{bk}): {v_t:6.1f} TFLOPS",
+                          flush=True)
+                except Exception as e:
+                    print(f"  tpv ({bq},{bk}): FAIL {str(e)[:80]}",
+                          flush=True)
         for base in ("mha_splash_tuned", "mha_jax_flash"):
             try:
                 var = registry.get("attention", base)
