@@ -314,3 +314,23 @@ def test_sliding_window(window, rng):
     ref = jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(s, axis=-1), v)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_carry_chain_default_blocks_tpv(dtype, rng):
+    """Carry chaining through the auto-dispatched transposed-PV kernel
+    (default blocks, D=64) == one full call."""
+    B, H, S, D = 1, 2, 256, 64
+    q = jnp.asarray(rng.standard_normal((B, H, S, D)), dtype)
+    k = jnp.asarray(rng.standard_normal((B, H, 2 * S, D)), dtype)
+    v = jnp.asarray(rng.standard_normal((B, H, 2 * S, D)), dtype)
+    full = attn.flash_attention(q, k, v)
+    carry = attn.flash_attention_carry_init(q)
+    for half in (slice(0, S), slice(S, 2 * S)):
+        carry = attn.flash_attention(q, k[:, :, half], v[:, :, half],
+                                     carry=carry, return_carry=True)
+    o = attn.flash_attention_finalize(*carry, dtype=dtype)
+    tol = 1e-5 if dtype == jnp.float32 else 3e-2
+    np.testing.assert_allclose(np.asarray(o, np.float32),
+                               np.asarray(full, np.float32),
+                               rtol=tol, atol=tol)

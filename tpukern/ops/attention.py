@@ -235,13 +235,13 @@ def flash_attention(q, k, v, *, causal=False, sm_scale=None,
     # _fa_tpv_kernel). Only when the caller asked for defaults and no
     # feature the tpv kernel lacks — explicit blocks mean a tuned tier.
     if (q.shape[-1] <= 64 and block_q is None and block_k is None
-            and alibi_slopes is None
-            and carry is None and not return_carry and window is None
+            and alibi_slopes is None and window is None
             and acc_dtype == jnp.float32):
         return flash_attention_tpv(q, k, v, causal=causal,
                                    sm_scale=sm_scale,
                                    causal_offset=causal_offset,
                                    return_stats=return_stats,
+                                   carry=carry, return_carry=return_carry,
                                    interpret=interpret)
     orig_dtype = q.dtype
     q, k, v = (to_kernel_dtype(t) for t in (q, k, v))
@@ -402,7 +402,8 @@ def flash_attention_finalize(acc, m, l, dtype=None, with_lse=False):
 
 
 def _fa_tpv_kernel(*refs, causal, block_q, block_k, causal_offset,
-                   kv_len, use_exp2, with_stats=False):
+                   kv_len, use_exp2, with_stats=False,
+                   has_carry_in=False, carry_out=False):
     """Transposed-PV online-softmax body: scores are computed as
     sT = K @ Q^T (bk, bq) and the output as accT = V^T @ P^T (D, bq).
 
@@ -413,19 +414,43 @@ def _fa_tpv_kernel(*refs, causal, block_q, block_k, causal_offset,
     width economics behind the reference's ldmatrix.x2.trans B-operand
     loads (flash_attn_mma_split_q.cu:470-534). Softmax statistics become
     lane vectors (1, bq) reduced over sublanes, the VPU's cheap axis."""
-    if with_stats:
-        qT_ref, k_ref, vT_ref, o_ref, lse_ref, m_ref, l_ref, acc_ref = refs
+    refs = list(refs)
+    qT_ref, k_ref, vT_ref = refs[:3]
+    i = 3
+    accT_in_ref = m_in_ref = l_in_ref = None
+    if has_carry_in:
+        accT_in_ref, m_in_ref, l_in_ref = refs[i:i + 3]
+        i += 3
+    lse_ref = None
+    if carry_out:
+        o_ref = None
+        accT_out_ref, m_out_ref, l_out_ref = refs[i:i + 3]
+        i += 3
     else:
-        qT_ref, k_ref, vT_ref, o_ref, m_ref, l_ref, acc_ref = refs
-        lse_ref = None
+        o_ref = refs[i]
+        i += 1
+        if with_stats:
+            lse_ref = refs[i]
+            i += 1
+    m_ref, l_ref, acc_ref = refs[-3:]
     qi = pl.program_id(2)
     ki = pl.program_id(3)
 
     @pl.when(ki == 0)
     def _():
-        m_ref[...] = jnp.full_like(m_ref, NEG_BIG)
-        l_ref[...] = jnp.zeros_like(l_ref)
-        acc_ref[...] = jnp.zeros_like(acc_ref)
+        if has_carry_in:
+            # resume the chained state (transposed layouts; natural-log m
+            # converted to log2 space with the same clamp as _fa_kernel)
+            acc_ref[...] = accT_in_ref[0, 0]
+            m0 = m_in_ref[0, 0][:1]
+            if use_exp2:
+                m0 = jnp.maximum(m0 * LOG2E, NEG_BIG)
+            m_ref[...] = jnp.broadcast_to(m0, m_ref.shape)
+            l_ref[...] = jnp.broadcast_to(l_in_ref[0, 0][:1], l_ref.shape)
+        else:
+            m_ref[...] = jnp.full_like(m_ref, NEG_BIG)
+            l_ref[...] = jnp.zeros_like(l_ref)
+            acc_ref[...] = jnp.zeros_like(acc_ref)
 
     if causal:
         should_run = (qi + 1) * block_q - 1 + causal_offset >= ki * block_k
@@ -470,6 +495,13 @@ def _fa_tpv_kernel(*refs, causal, block_q, block_k, causal_offset,
     @pl.when(ki == pl.num_programs(3) - 1)
     def _():
         l = l_ref[:1]
+        if carry_out:
+            accT_out_ref[0, 0] = acc_ref[...]
+            m_nat = (LN2 * m_ref[:1]) if use_exp2 else m_ref[:1]
+            m_out_ref[0, 0] = jnp.broadcast_to(m_nat,
+                                               m_out_ref.shape[2:])
+            l_out_ref[0, 0] = jnp.broadcast_to(l, l_out_ref.shape[2:])
+            return
         l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
         o_ref[0, 0] = (acc_ref[...] * l_inv).astype(o_ref.dtype)
         if with_stats:
@@ -480,7 +512,8 @@ def _fa_tpv_kernel(*refs, causal, block_q, block_k, causal_offset,
 
 def flash_attention_tpv(q, k, v, *, causal=False, sm_scale=None,
                         block_q=None, block_k=None, causal_offset=0,
-                        return_stats=False, interpret=None):
+                        return_stats=False, carry=None,
+                        return_carry=False, interpret=None):
     """Transposed-PV FA-2 forward (see _fa_tpv_kernel). Same contract as
     flash_attention for o; the (B,H,S,D) <-> (B,H,D,S) transposes of Q, V
     and O happen at the XLA boundary (~3 HBM passes, <2% of the kernel's
@@ -518,34 +551,62 @@ def flash_attention_tpv(q, k, v, *, causal=False, sm_scale=None,
         _fa_tpv_kernel, causal=causal, block_q=bq, block_k=bk,
         causal_offset=causal_offset,
         kv_len=Skv if Skv % bk else None, use_exp2=use_exp2,
-        with_stats=return_stats)
+        with_stats=return_stats, has_carry_in=carry is not None,
+        carry_out=return_carry)
 
-    out_shapes = [jax.ShapeDtypeStruct((B, Hq, D, Sq_p), q.dtype)]
-    out_specs = [pl.BlockSpec((1, 1, D, bq),
-                              lambda b, h, i, j: (b, h, 0, i),
-                              memory_space=pltpu.VMEM)]
-    if return_stats:
-        # lse rides as (1, bq) lane rows: 8-sublane block, row 0 live
-        out_shapes.append(
-            jax.ShapeDtypeStruct((B, Hq, 8, Sq_p), jnp.float32))
-        out_specs.append(
-            pl.BlockSpec((1, 1, 8, bq), lambda b, h, i, j: (b, h, 0, i),
-                         memory_space=pltpu.VMEM))
+    assert not (return_carry and return_stats)
+    _accT_spec = pl.BlockSpec((1, 1, D, bq), lambda b, h, i, j: (b, h, 0, i),
+                              memory_space=pltpu.VMEM)
+    _statT_spec = pl.BlockSpec((1, 1, 8, bq), lambda b, h, i, j: (b, h, 0, i),
+                               memory_space=pltpu.VMEM)
+    if return_carry:
+        out_shapes = [
+            jax.ShapeDtypeStruct((B, Hq, D, Sq_p), jnp.float32),
+            jax.ShapeDtypeStruct((B, Hq, 8, Sq_p), jnp.float32),
+            jax.ShapeDtypeStruct((B, Hq, 8, Sq_p), jnp.float32),
+        ]
+        out_specs = [_accT_spec, _statT_spec, _statT_spec]
+    else:
+        out_shapes = [jax.ShapeDtypeStruct((B, Hq, D, Sq_p), q.dtype)]
+        out_specs = [_accT_spec]
+        if return_stats:
+            # lse rides as (1, bq) lane rows: 8-sublane block, row 0 live
+            out_shapes.append(
+                jax.ShapeDtypeStruct((B, Hq, 8, Sq_p), jnp.float32))
+            out_specs.append(_statT_spec)
+
+    in_specs = [
+        pl.BlockSpec((1, 1, D, bq), lambda b, h, i, j: (b, h, 0, i),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, bk, D),
+                     lambda b, h, i, j, _g=group: (b, h // _g, j, 0),
+                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, D, bk),
+                     lambda b, h, i, j, _g=group: (b, h // _g, 0, j),
+                     memory_space=pltpu.VMEM),
+    ]
+    args = [qT, k, vT]
+    if carry is not None:
+        # public carry layout matches _fa_kernel's: acc (B,Hq,Sq,D) f32,
+        # m/l (B,Hq,Sq) f32 natural-log — transposed at the XLA boundary
+        acc_in, m_in, l_in = carry
+        pad_q = ((0, 0), (0, 0), (0, Sq_p - Sq), (0, 0))
+        accT_in = jnp.swapaxes(
+            jnp.pad(acc_in.astype(jnp.float32), pad_q), -1, -2)
+        stats_in = []
+        for t in (m_in, l_in):
+            t = jnp.pad(t.astype(jnp.float32),
+                        ((0, 0), (0, 0), (0, Sq_p - Sq)))
+            stats_in.append(jnp.broadcast_to(t[:, :, None, :],
+                                             (B, Hq, 8, Sq_p)))
+        in_specs.extend([_accT_spec, _statT_spec, _statT_spec])
+        args.extend([accT_in, *stats_in])
 
     res = pl.pallas_call(
         kernel,
         out_shape=tuple(out_shapes),
         grid=grid,
-        in_specs=[
-            pl.BlockSpec((1, 1, D, bq), lambda b, h, i, j: (b, h, 0, i),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, bk, D),
-                         lambda b, h, i, j, _g=group: (b, h // _g, j, 0),
-                         memory_space=pltpu.VMEM),
-            pl.BlockSpec((1, 1, D, bk),
-                         lambda b, h, i, j, _g=group: (b, h // _g, 0, j),
-                         memory_space=pltpu.VMEM),
-        ],
+        in_specs=in_specs,
         out_specs=tuple(out_specs),
         scratch_shapes=[
             pltpu.VMEM((8, bq), jnp.float32),     # m (row 0 live)
@@ -562,7 +623,10 @@ def flash_attention_tpv(q, k, v, *, causal=False, sm_scale=None,
             transcendentals=int(B * Hq * Sq * Skv),
         ),
         interpret=use_interpret() if interpret is None else interpret,
-    )(qT, k, vT)
+    )(*args)
+    if return_carry:
+        return (jnp.swapaxes(res[0], -1, -2)[:, :, :Sq],
+                res[1][:, :, 0, :Sq], res[2][:, :, 0, :Sq])
     o = jnp.swapaxes(res[0], -1, -2)[:, :, :Sq].astype(orig_dtype)
     if return_stats:
         return o, res[1][:, :, 0, :Sq]

@@ -131,7 +131,7 @@ def _ring_bwd(q, k, v, o, lse, do, *, axis, n, causal, sm_scale,
 
 
 def ring_attention(q, k, v, mesh, axis="sp", causal=False, sm_scale=None,
-                   block_q=128, block_k=128):
+                   block_q=None, block_k=None):
     """Attention with q, k, v (B, H, S, D) sequence-sharded over `axis`.
 
     Each step: run the local FA-2 kernel against the KV shard currently
@@ -142,6 +142,10 @@ def ring_attention(q, k, v, mesh, axis="sp", causal=False, sm_scale=None,
     n = mesh.shape[axis]
     cfg = dict(axis=axis, n=n, causal=causal, sm_scale=sm_scale,
                block_q=block_q, block_k=block_k)
+    # backward kernels keep their own tuned defaults when none given
+    bwd_cfg = dict(cfg)
+    if block_q is None or block_k is None:
+        bwd_cfg["block_q"], bwd_cfg["block_k"] = 256, 512
 
     @jax.custom_vjp
     def local_fn(q, k, v):
@@ -155,7 +159,7 @@ def ring_attention(q, k, v, mesh, axis="sp", causal=False, sm_scale=None,
 
     def local_bwd(res, do):
         q, k, v, o, lse = res
-        return _ring_bwd(q, k, v, o, lse, do, **cfg)
+        return _ring_bwd(q, k, v, o, lse, do, **bwd_cfg)
 
     local_fn.defvjp(local_fwd, local_bwd)
 
