@@ -140,6 +140,127 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
             preferred_element_type=jnp.float32, precision=prec)
 
 
+def _dq_t_kernel(qT_ref, k_ref, v_ref, doT_ref, lse_ref, di_ref, dqT_ref,
+                 *, scale, causal, block_q, block_k, kv_len=None,
+                 use_exp2=True):
+    """Transposed-layout dQ body (D <= 64 fast path): scores and ds live
+    as (bk, bq) and dQ accumulates as dq^T = k^T @ ds^T (D, bq) — the
+    contraction runs block_k deep and the output block_q wide, so the
+    accumulation matmul is full MXU rate where the standard layout's
+    ds @ k is half-width at D=64 (same economics as the forward's
+    transposed-PV kernel, ops/attention.py)."""
+    qi = pl.program_id(2)
+    ki = pl.program_id(3)
+
+    @pl.when(ki == 0)
+    def _():
+        dqT_ref[...] = jnp.zeros_like(dqT_ref)
+
+    run = (qi + 1) * block_q - 1 >= ki * block_k if causal else True
+    prec = None if use_exp2 else jax.lax.Precision.HIGHEST
+
+    @pl.when(run)
+    def _():
+        qT = qT_ref[0, 0]                 # (D, bq)
+        k = k_ref[0, 0]                   # (bk, D)
+        v = v_ref[0, 0]
+        doT = doT_ref[0, 0].astype(jnp.float32)   # (D, bq)
+        lse = lse_ref[0, 0][:1]           # (1, bq) lane rows
+        di = di_ref[0, 0][:1]
+
+        sT = jax.lax.dot_general(
+            k, qT, dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec
+        ) * (scale * (LOG2E if use_exp2 else 1.0))     # (bk, bq)
+        pT = (jnp.exp2 if use_exp2 else jnp.exp)(sT - lse)
+        if causal:
+            kv_rows = (jax.lax.broadcasted_iota(jnp.int32, sT.shape, 0)
+                       + ki * block_k)
+            q_cols = (jax.lax.broadcasted_iota(jnp.int32, sT.shape, 1)
+                      + qi * block_q)
+            pT = jnp.where(kv_rows <= q_cols, pT, 0.0)
+
+        # dp^T[kv, q] = sum_d v[kv, d] do[q, d]
+        dpT = jax.lax.dot_general(
+            v.astype(jnp.float32), doT,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
+        dsT = pT * (dpT - di) * scale
+        if kv_len is not None:
+            kv_rows = (jax.lax.broadcasted_iota(jnp.int32, sT.shape, 0)
+                       + ki * block_k)
+            dsT = jnp.where(kv_rows < kv_len, dsT, 0.0)
+        # dq^T[d, q] = sum_kv k[kv, d] ds^T[kv, q]  — full MXU width
+        dqT_ref[0, 0] += jax.lax.dot_general(
+            k, dsT.astype(k.dtype),
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
+
+
+def _dkv_t_kernel(qT_ref, k_ref, v_ref, doT_ref, lse_ref, di_ref,
+                  dkT_ref, dvT_ref, *, scale, causal, block_q, block_k,
+                  q_len=None, use_exp2=True):
+    """Transposed-output dK/dV body (D <= 64 fast path): p stays (bq, bk)
+    but dK/dV accumulate transposed — dv^T = do^T @ p and
+    dk^T = q^T @ ds run block_q-deep contractions with block_k-wide
+    outputs (full MXU rate; the standard layout's p^T @ do / ds^T @ q
+    have D-wide outputs, half rate at D=64)."""
+    ki = pl.program_id(2)
+    qi = pl.program_id(3)
+
+    @pl.when(qi == 0)
+    def _():
+        dkT_ref[...] = jnp.zeros_like(dkT_ref)
+        dvT_ref[...] = jnp.zeros_like(dvT_ref)
+
+    run = (qi + 1) * block_q - 1 >= ki * block_k if causal else True
+    prec = None if use_exp2 else jax.lax.Precision.HIGHEST
+
+    @pl.when(run)
+    def _():
+        qT = qT_ref[0, 0]                 # (D, bq)
+        k = k_ref[0, 0]                   # (bk, D)
+        v = v_ref[0, 0]
+        doT = doT_ref[0, 0].astype(jnp.float32)   # (D, bq)
+        lse = lse_ref[0, 0][:, :1]        # (bq, 1) sublane column
+        di = di_ref[0, 0][:, :1]
+
+        # s[q, kv] = sum_d q[q, d] k[kv, d] via the transposed q operand
+        s = jax.lax.dot_general(
+            qT, k, dimension_numbers=(((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec
+        ) * (scale * (LOG2E if use_exp2 else 1.0))     # (bq, bk)
+        p = (jnp.exp2 if use_exp2 else jnp.exp)(s - lse)
+        if causal or q_len is not None:
+            q_rows = (jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+                      + qi * block_q)
+        if causal:
+            kv_cols = (jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+                       + ki * block_k)
+            p = jnp.where(kv_cols <= q_rows, p, 0.0)
+        if q_len is not None:
+            p = jnp.where(q_rows < q_len, p, 0.0)
+
+        # dv^T[d, kv] = sum_q do[q, d] p[q, kv]  — full MXU width
+        dvT_ref[0, 0] += jax.lax.dot_general(
+            doT.astype(v.dtype), p.astype(v.dtype),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
+        # dp[q, kv] = sum_d do[q, d] v[kv, d]
+        dp = jax.lax.dot_general(
+            doT, v.astype(jnp.float32),
+            dimension_numbers=(((0,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
+        ds = p * (dp - di) * scale
+        if q_len is not None:
+            ds = jnp.where(q_rows < q_len, ds, 0.0)
+        # dk^T[d, kv] = sum_q q[q, d] ds[q, kv]  — full MXU width
+        dkT_ref[0, 0] += jax.lax.dot_general(
+            qT, ds.astype(qT.dtype),
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
+
+
 def flash_attention_bwd(q, k, v, o, lse, do, *, causal=False, sm_scale=None,
                         block_q=256, block_k=512, interpret=None):
     """dQ, dK, dV from saved residuals. Hq == Hkv here; GQA grouping is
@@ -182,6 +303,17 @@ def flash_attention_bwd(q, k, v, o, lse, do, *, causal=False, sm_scale=None,
         return pl.BlockSpec((1, 1, bs, 8),
                             lambda *a, _f=idx: (*_f(*a), 0),
                             memory_space=pltpu.VMEM)
+
+    if D <= 64:
+        # transposed-layout twins: the three half-MXU-width matmuls of the
+        # standard layout (ds@k, p^T@do, ds^T@q — all D-wide) become
+        # block-wide at full rate; see _dq_t_kernel/_dkv_t_kernel
+        return _bwd_transposed(
+            q, k, v, do, lse8, di8, B=B, H=H, D=D, Sq=Sq, Skv=Skv,
+            Sq_p=Sq_p, Skv_p=Skv_p, bq=bq, bk=bk, sm_scale=sm_scale,
+            causal=causal, kv_len=kv_len, q_len=q_len,
+            use_exp2=use_exp2, interp=interp,
+            out_dtypes=(q.dtype, k.dtype, v.dtype))
 
     dq = pl.pallas_call(
         functools.partial(_dq_kernel, scale=sm_scale, causal=causal,
@@ -229,3 +361,79 @@ def flash_attention_bwd(q, k, v, o, lse, do, *, causal=False, sm_scale=None,
 
     return (dq[:, :, :Sq].astype(q.dtype), dk[:, :, :Skv].astype(k.dtype),
             dv[:, :, :Skv].astype(v.dtype))
+
+
+def _bwd_transposed(q, k, v, do, lse8, di8, *, B, H, D, Sq, Skv, Sq_p,
+                    Skv_p, bq, bk, sm_scale, causal, kv_len, q_len,
+                    use_exp2, interp, out_dtypes):
+    """D <= 64 backward via the transposed-layout kernels. Inputs arrive
+    already padded to block multiples; lse8/di8 are the (B,H,Sq_p,8)
+    sublane-major stats (lse pre-scaled by log2e for half precision)."""
+    qT = jnp.swapaxes(q, -1, -2)                  # (B, H, D, Sq_p)
+    doT = jnp.swapaxes(do, -1, -2)
+    # lane-major stats for the dq kernel: (B, H, 8, Sq_p), row 0 live
+    lse_row = jnp.swapaxes(lse8, -1, -2)
+    di_row = jnp.swapaxes(di8, -1, -2)
+
+    def specT(bs, idx):
+        return pl.BlockSpec((1, 1, D, bs), idx, memory_space=pltpu.VMEM)
+
+    def spec4(bs, idx):
+        return pl.BlockSpec((1, 1, bs, D), idx, memory_space=pltpu.VMEM)
+
+    def spec_row(bs, idx):
+        return pl.BlockSpec((1, 1, 8, bs), idx, memory_space=pltpu.VMEM)
+
+    def spec_col(bs, idx):
+        return pl.BlockSpec((1, 1, bs, 8),
+                            lambda *a, _f=idx: (*_f(*a), 0),
+                            memory_space=pltpu.VMEM)
+
+    dqT = pl.pallas_call(
+        functools.partial(_dq_t_kernel, scale=sm_scale, causal=causal,
+                          block_q=bq, block_k=bk, kv_len=kv_len,
+                          use_exp2=use_exp2),
+        out_shape=jax.ShapeDtypeStruct((B, H, D, Sq_p), jnp.float32),
+        grid=(B, H, cdiv(Sq_p, bq), cdiv(Skv_p, bk)),
+        in_specs=[
+            specT(bq, lambda b, h, i, j: (b, h, 0, i)),   # qT
+            spec4(bk, lambda b, h, i, j: (b, h, j, 0)),   # k
+            spec4(bk, lambda b, h, i, j: (b, h, j, 0)),   # v
+            specT(bq, lambda b, h, i, j: (b, h, 0, i)),   # doT
+            spec_row(bq, lambda b, h, i, j: (b, h, 0, i)),  # lse rows
+            spec_row(bq, lambda b, h, i, j: (b, h, 0, i)),  # di rows
+        ],
+        out_specs=specT(bq, lambda b, h, i, j: (b, h, 0, i)),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary")),
+        interpret=interp,
+    )(qT, k, v, doT, lse_row, di_row)
+
+    dkT, dvT = pl.pallas_call(
+        functools.partial(_dkv_t_kernel, scale=sm_scale, causal=causal,
+                          block_q=bq, block_k=bk, q_len=q_len,
+                          use_exp2=use_exp2),
+        out_shape=(jax.ShapeDtypeStruct((B, H, D, Skv_p), jnp.float32),
+                   jax.ShapeDtypeStruct((B, H, D, Skv_p), jnp.float32)),
+        grid=(B, H, cdiv(Skv_p, bk), cdiv(Sq_p, bq)),
+        in_specs=[
+            specT(bq, lambda b, h, i, j: (b, h, 0, j)),   # qT
+            spec4(bk, lambda b, h, i, j: (b, h, i, 0)),   # k
+            spec4(bk, lambda b, h, i, j: (b, h, i, 0)),   # v
+            specT(bq, lambda b, h, i, j: (b, h, 0, j)),   # doT
+            spec_col(bq, lambda b, h, i, j: (b, h, j)),   # lse cols
+            spec_col(bq, lambda b, h, i, j: (b, h, j)),   # di cols
+        ],
+        out_specs=(specT(bk, lambda b, h, i, j: (b, h, 0, i)),
+                   specT(bk, lambda b, h, i, j: (b, h, 0, i))),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "parallel",
+                                 "arbitrary")),
+        interpret=interp,
+    )(qT, k, v, doT, lse8, di8)
+
+    dq = jnp.swapaxes(dqT, -1, -2)[:, :, :Sq].astype(out_dtypes[0])
+    dk = jnp.swapaxes(dkT, -1, -2)[:, :, :Skv].astype(out_dtypes[1])
+    dv = jnp.swapaxes(dvT, -1, -2)[:, :, :Skv].astype(out_dtypes[2])
+    return dq, dk, dv
