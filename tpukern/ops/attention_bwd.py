@@ -262,9 +262,12 @@ def _dkv_t_kernel(qT_ref, k_ref, v_ref, doT_ref, lse_ref, di_ref,
 
 
 def flash_attention_bwd(q, k, v, o, lse, do, *, causal=False, sm_scale=None,
-                        block_q=256, block_k=512, interpret=None):
+                        block_q=256, block_k=512, transposed=None,
+                        interpret=None):
     """dQ, dK, dV from saved residuals. Hq == Hkv here; GQA grouping is
-    handled by the caller (sum dk/dv over the query-head group)."""
+    handled by the caller (sum dk/dv over the query-head group).
+    transposed: None = auto (transposed-layout kernels at D <= 64),
+    True/False forces the choice."""
     B, H, Sq, D = q.shape
     Skv = k.shape[2]
     if sm_scale is None:
@@ -304,7 +307,9 @@ def flash_attention_bwd(q, k, v, o, lse, do, *, causal=False, sm_scale=None,
                             lambda *a, _f=idx: (*_f(*a), 0),
                             memory_space=pltpu.VMEM)
 
-    if D <= 64:
+    if transposed is None:
+        transposed = D <= 64
+    if transposed:
         # transposed-layout twins: the three half-MXU-width matmuls of the
         # standard layout (ds@k, p^T@do, ds^T@q — all D-wide) become
         # block-wide at full rate; see _dq_t_kernel/_dkv_t_kernel
