@@ -22,9 +22,11 @@ from tpukern.parallel.collectives import (
     all_to_all,
 )
 from tpukern.parallel.ring_attention import ring_attention
+from tpukern.parallel.ulysses import ulysses_attention
 
 __all__ = [
     "p2p", "broadcast", "scatter", "gather", "reduce", "all_reduce",
     "all_gather", "all_gather_object", "reduce_scatter", "all_to_all",
     "ring_attention",
+    "ulysses_attention",
 ]
