@@ -55,6 +55,11 @@ def init_cache(cfg: Config, batch, pages_per_seq, page_size=128,
     )
 
 
+def _pages_per_block(pages_per_seq):
+    """Largest page-DMA batch that divides the sequence's page count."""
+    return max(d for d in (4, 2, 1) if pages_per_seq % d == 0)
+
+
 def _write_tokens(pages, layer, new, table, start):
     """Scatter new (B, Hkv, T, D) tokens into the page pool at positions
     start[b] .. start[b]+T-1 of each sequence."""
@@ -66,8 +71,10 @@ def _write_tokens(pages, layer, new, table, start):
 
     def per_seq(pages, new_b, table_b, start_b):
         def per_tok(pages, t):
-            # clamp so an already-full (or inactive, see decode_step's
-            # `active` mask) sequence can't index past its page range
+            # clamp so a full sequence can't index past its page range
+            # (an inactive slot's write lands un-clamped at its current
+            # length — safe only because that position is always
+            # overwritten before the slot's length ever reaches it)
             pos = jnp.minimum(start_b + t, max_pos)
             phys = table_b[pos // page_size]
             pages = jax.lax.dynamic_update_slice(
@@ -158,7 +165,8 @@ def decode_step(params, cfg: Config, last_tokens, cache: KVCache,
     (B, vocab). Attention runs the paged-decode Pallas kernel against the
     page pool (ops/paged_attention.py). active (B,) bool masks which
     slots advance (inactive slots' lengths don't move; their page writes
-    land clamped at the slot's last position and are never read)."""
+    land at the frozen length position, which stays dead — it is
+    overwritten by the next real token before the length covers it)."""
     B = last_tokens.shape[0]
     h = jnp.take(params["embed"], last_tokens, axis=0)[:, None, :]  # (B,1,d)
     positions = cache.lengths[:, None]  # (B, 1)
@@ -170,8 +178,7 @@ def decode_step(params, cfg: Config, last_tokens, cache: KVCache,
                                 cache.lengths)
         v_pages = _write_tokens(v_pages, li, v, cache.page_table,
                                 cache.lengths)
-        pps = cache.page_table.shape[1]
-        ppb = max(d for d in (4, 2, 1) if pps % d == 0)
+        ppb = _pages_per_block(cache.page_table.shape[1])
         o = paged_attention(q[:, :, 0], k_pages[li], v_pages[li],
                             cache.lengths + 1, cache.page_table,
                             pages_per_block=ppb)
@@ -203,8 +210,7 @@ def verify_step(params, cfg: Config, tokens, cache: KVCache):
         q, k, v = _layer_qkv(hn, lp, cfg, positions)
         k_pages = _write_tokens(k_pages, li, k, cache.page_table, start)
         v_pages = _write_tokens(v_pages, li, v, cache.page_table, start)
-        pps = cache.page_table.shape[1]
-        ppb = max(d for d in (4, 2, 1) if pps % d == 0)
+        ppb = _pages_per_block(cache.page_table.shape[1])
         o = paged_prefill_attention(q, k_pages[li], v_pages[li],
                                     start + T, cache.page_table,
                                     pages_per_block=ppb)

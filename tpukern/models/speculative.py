@@ -26,6 +26,7 @@ one pending token `last` not yet in any cache.
 """
 
 import dataclasses
+import functools
 
 import jax
 import jax.numpy as jnp
@@ -33,6 +34,16 @@ import numpy as np
 
 from tpukern.models.serving import (decode_step, init_cache, prefill,
                                     rollback, verify_step)
+
+
+@functools.partial(jax.jit, static_argnums=1)
+def _d_step(params, cfg, tok, cache):
+    return decode_step(params, cfg, tok, cache)
+
+
+@functools.partial(jax.jit, static_argnums=1)
+def _t_verify(params, cfg, tokens, cache):
+    return verify_step(params, cfg, tokens, cache)
 
 
 @dataclasses.dataclass
@@ -57,15 +68,19 @@ def speculative_generate(target_params, target_cfg, draft_params,
     (and a SpecStats with the measured acceptance rate)."""
     B = prompt.shape[0]
     assert B == 1, "speculative driver is per-sequence"
+    # capacity: every round may write up to gamma+1 tokens past the
+    # emitted length before rolling back; overflowing the page pool would
+    # silently clamp writes and corrupt the exact-greedy invariant
+    max_len = pages_per_seq * page_size
+    assert prompt.shape[1] + n_steps + gamma + 1 <= max_len, (
+        f"prompt ({prompt.shape[1]}) + n_steps ({n_steps}) + gamma+1 "
+        f"({gamma + 1}) must fit the page pool ({max_len})")
     tc = init_cache(target_cfg, B, pages_per_seq, page_size)
     dc = init_cache(draft_cfg, B, pages_per_seq, page_size)
 
     t_logits, tc = prefill(target_params, target_cfg, prompt, tc)
     _, dc = prefill(draft_params, draft_cfg, prompt, dc)
     last = int(np.asarray(jnp.argmax(t_logits, -1))[0])
-
-    d_step = jax.jit(lambda p, t, c: decode_step(p, draft_cfg, t, c))
-    t_verify = jax.jit(lambda p, t, c: verify_step(p, target_cfg, t, c))
 
     out = []
     stats = SpecStats()
@@ -76,13 +91,18 @@ def speculative_generate(target_params, target_cfg, draft_params,
         drafts = []
         cur = last
         for _ in range(g):
-            dl, dc = d_step(draft_params,
-                            jnp.asarray([cur], jnp.int32), dc)
+            dl, dc = _d_step(draft_params, draft_cfg,
+                             jnp.asarray([cur], jnp.int32), dc)
             cur = int(np.asarray(jnp.argmax(dl, -1))[0])
             drafts.append(cur)
-        # 2. one-pass target verification
-        cand = jnp.asarray([[last] + drafts], jnp.int32)   # (1, g+1)
-        vl, tc = t_verify(target_params, cand, tc)
+        # 2. one-pass target verification; candidates are padded to a
+        # fixed gamma+1 width so the final short round reuses the same
+        # compiled verify_step (positions past g are ignored AND rolled
+        # back, so the padding tokens never influence anything)
+        cand = np.zeros((1, gamma + 1), np.int32)
+        cand[0, :g + 1] = [last] + drafts
+        vl, tc = _t_verify(target_params, target_cfg,
+                           jnp.asarray(cand), tc)
         greedy = np.asarray(jnp.argmax(vl, -1))[0]          # (g+1,)
         # 3. longest accepted prefix
         j = 0
@@ -97,9 +117,9 @@ def speculative_generate(target_params, target_cfg, draft_params,
         # cache discipline: both caches -> n + j + 1 live tokens
         tc = rollback(tc, np.asarray([n + j + 1]))
         if j == g and g > 0:
-            # full acceptance: draft never saw d_gamma — catch up
-            _, dc = d_step(draft_params,
-                           jnp.asarray([drafts[-1]], jnp.int32), dc)
+            # full acceptance: draft never saw d_g — catch up
+            _, dc = _d_step(draft_params, draft_cfg,
+                            jnp.asarray([drafts[-1]], jnp.int32), dc)
         dc = rollback(dc, np.asarray([n + j + 1]))
         last = new_last
 

@@ -150,6 +150,7 @@ def paged_attention(q, k_pages, v_pages, lengths, page_table,
     assert Hq % Hkv == 0
     group = Hq // Hkv
     assert pages_per_seq % pages_per_block == 0
+    assert window is None or window >= 1, f"window must be >= 1: {window}"
     n_blk = pages_per_seq // pages_per_block
     bk = page_size * pages_per_block
 

@@ -142,10 +142,13 @@ def ring_attention(q, k, v, mesh, axis="sp", causal=False, sm_scale=None,
     n = mesh.shape[axis]
     cfg = dict(axis=axis, n=n, causal=causal, sm_scale=sm_scale,
                block_q=block_q, block_k=block_k)
-    # backward kernels keep their own tuned defaults when none given
+    # backward kernels keep their own tuned defaults for whichever
+    # block the caller left unset (an explicit choice is preserved)
     bwd_cfg = dict(cfg)
-    if block_q is None or block_k is None:
-        bwd_cfg["block_q"], bwd_cfg["block_k"] = 256, 512
+    if block_q is None:
+        bwd_cfg["block_q"] = 256
+    if block_k is None:
+        bwd_cfg["block_k"] = 512
 
     @jax.custom_vjp
     def local_fn(q, k, v):

@@ -56,10 +56,11 @@ def ulysses_attention(q, k, v, mesh, axis="sp", causal=False,
     custom-VJP Pallas forward+backward pair for gradient support.
     """
     n = mesh.shape[axis]
-    H = q.shape[1]
-    assert H % n == 0, (
-        f"ulysses needs heads ({H}) divisible by the {axis!r} axis ({n}); "
-        "use ring_attention otherwise")
+    H, Hkv, S = q.shape[1], k.shape[1], q.shape[2]
+    assert H % n == 0 and Hkv % n == 0, (
+        f"ulysses needs q heads ({H}) AND kv heads ({Hkv}) divisible by "
+        f"the {axis!r} axis ({n}); use ring_attention otherwise")
+    assert S % n == 0, f"sequence ({S}) must divide over {axis!r} ({n})"
 
     def local_fn(q, k, v):
         return _local(q, k, v, axis=axis, causal=causal,
