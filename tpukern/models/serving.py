@@ -43,9 +43,13 @@ def init_cache(cfg: Config, batch, pages_per_seq, page_size=128,
     """Fixed page pool; sequence b owns physical pages
     [b*pages_per_seq, (b+1)*pages_per_seq) — the identity mapping a real
     allocator would replace (the kernel only sees the table)."""
+    from tpukern.core import round_up
     Hkv, D = cfg.n_kv_heads, cfg.head_dim
     P = batch * pages_per_seq
-    shape = (cfg.n_layers, Hkv, P, page_size, D)
+    # head dim padded to the 128-lane tile: Mosaic requires page slices
+    # lane-aligned in HBM (pad columns are zero and sliced off by the
+    # kernels; _write_tokens writes D columns at offset 0)
+    shape = (cfg.n_layers, Hkv, P, page_size, round_up(D, 128))
     table = jnp.arange(P, dtype=jnp.int32).reshape(batch, pages_per_seq)
     return KVCache(
         k_pages=jnp.zeros(shape, dtype),

@@ -95,9 +95,14 @@ def _decode_kernel(lengths_ref, tables_ref, *refs,
                  * ks_buf[...][..., None]).astype(q.dtype).reshape(bk, D)
         else:
             k = k_buf[...].reshape(bk, D)
+        # f32 queries get true-f32 MXU passes (TPU DEFAULT runs f32
+        # dots through bf16 multiplies, ~1e-3 relative — measured on v5e)
+        prec = (jax.lax.Precision.HIGHEST if q.dtype == jnp.float32
+                else None)
         s = jax.lax.dot_general(
             q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)           # (group, bk)
+            preferred_element_type=jnp.float32,
+            precision=prec)                               # (group, bk)
         s *= 1.0 / math.sqrt(sm_D if sm_D is not None else D)
         pos = blk * bk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(pos < length, s, mask_value)
@@ -121,7 +126,8 @@ def _decode_kernel(lengths_ref, tables_ref, *refs,
                       + jax.lax.dot_general(
                           p.astype(v.dtype), v,
                           dimension_numbers=(((1,), (0,)), ((), ())),
-                          preferred_element_type=jnp.float32))
+                          preferred_element_type=jnp.float32,
+                          precision=prec))
 
     @pl.when(blk == n_blk - 1)
     def _():
@@ -144,8 +150,9 @@ def paged_attention(q, k_pages, v_pages, lengths, page_table,
     so decode DMA traffic is bounded by the window, not the history).
     Returns (B, Hq, D).
     """
+    from tpukern.core import round_up
     B, Hq, D = q.shape
-    Hkv, P, page_size, _ = k_pages.shape
+    Hkv, P, page_size, Dpool = k_pages.shape
     pages_per_seq = page_table.shape[1]
     assert Hq % Hkv == 0
     group = Hq // Hkv
@@ -154,26 +161,39 @@ def paged_attention(q, k_pages, v_pages, lengths, page_table,
     n_blk = pages_per_seq // pages_per_block
     bk = page_size * pages_per_block
 
+    # Mosaic requires HBM page slices 128-lane aligned: pools must carry
+    # D padded to 128 (serving's init_cache allocates them padded; for
+    # ad-hoc unpadded pools pad here — a one-off copy)
+    Dp = round_up(D, 128)
+    if Dpool == D and Dp != D:
+        pad = ((0, 0), (0, 0), (0, 0), (0, Dp - D))
+        k_pages = jnp.pad(k_pages, pad)
+        v_pages = jnp.pad(v_pages, pad)
+    else:
+        assert Dpool == Dp, (D, Dpool)
+
     # (B, Hkv, group, D) so one grid cell covers a whole GQA group
     q4 = q.reshape(B, Hkv, group, D)
+    if Dp != D:
+        q4 = jnp.pad(q4, ((0, 0), (0, 0), (0, 0), (0, Dp - D)))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,          # lengths, flat page table
         grid=(B, Hkv, n_blk),
         in_specs=[
-            pl.BlockSpec((1, 1, group, D), lambda b, h, i, *_: (b, h, 0, 0),
+            pl.BlockSpec((1, 1, group, Dp), lambda b, h, i, *_: (b, h, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),   # K pages stay in HBM
             pl.BlockSpec(memory_space=pl.ANY),   # V pages stay in HBM
         ],
-        out_specs=pl.BlockSpec((1, 1, group, D), lambda b, h, i, *_: (b, h, 0, 0),
+        out_specs=pl.BlockSpec((1, 1, group, Dp), lambda b, h, i, *_: (b, h, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((pages_per_block, page_size, D), k_pages.dtype),
-            pltpu.VMEM((pages_per_block, page_size, D), v_pages.dtype),
+            pltpu.VMEM((pages_per_block, page_size, Dp), k_pages.dtype),
+            pltpu.VMEM((pages_per_block, page_size, Dp), v_pages.dtype),
             pltpu.VMEM((group, 128), jnp.float32),
             pltpu.VMEM((group, 128), jnp.float32),
-            pltpu.VMEM((group, D), jnp.float32),
+            pltpu.VMEM((group, Dp), jnp.float32),
             pltpu.SemaphoreType.DMA((2, pages_per_block)),
         ],
     )
@@ -181,18 +201,18 @@ def paged_attention(q, k_pages, v_pages, lengths, page_table,
     kernel = functools.partial(
         _decode_kernel, page_size=page_size,
         pages_per_block=pages_per_block, mask_value=NEG_BIG,
-        window=window)
+        window=window, sm_D=D)
 
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((B, Hkv, group, D), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, Hkv, group, Dp), q.dtype),
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary")),
         interpret=use_interpret() if interpret is None else interpret,
     )(lengths.astype(jnp.int32), page_table.reshape(-1).astype(jnp.int32),
       q4, k_pages, v_pages)
-    return out.reshape(B, Hq, D)
+    return out[..., :D].reshape(B, Hq, D)
 
 
 def quantize_pages(pages, dtype="int8"):
@@ -325,9 +345,12 @@ def _prefix_kernel(lengths_ref, tables_ref, *refs, page_size,
 
         q = q_ref[0, 0]                                   # (rows, D)
         k = k_buf[...].reshape(bk, D)
+        prec = (jax.lax.Precision.HIGHEST if q.dtype == jnp.float32
+                else None)
         s = jax.lax.dot_general(
             q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32)           # (rows, bk)
+            preferred_element_type=jnp.float32,
+            precision=prec)                               # (rows, bk)
         s *= 1.0 / math.sqrt(sm_D)
         pos = blk * bk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         # row r is query token t = r % n_tok; it sees positions
@@ -348,7 +371,8 @@ def _prefix_kernel(lengths_ref, tables_ref, *refs, page_size,
                       + jax.lax.dot_general(
                           p.astype(v.dtype), v,
                           dimension_numbers=(((1,), (0,)), ((), ())),
-                          preferred_element_type=jnp.float32))
+                          preferred_element_type=jnp.float32,
+                          precision=prec))
 
     @pl.when(blk == n_blk - 1)
     def _():
@@ -370,37 +394,49 @@ def paged_prefill_attention(q, k_pages, v_pages, lengths, page_table,
     [0, lengths[b] - T + t]. Used for chunked prefill continuation and
     speculative-decoding verification. Returns (B, Hq, T, D).
     """
+    from tpukern.core import round_up
     B, Hq, T, D = q.shape
-    Hkv, P, page_size, _ = k_pages.shape
+    Hkv, P, page_size, Dpool = k_pages.shape
     pages_per_seq = page_table.shape[1]
     assert Hq % Hkv == 0
     group = Hq // Hkv
     assert pages_per_seq % pages_per_block == 0
     n_blk = pages_per_seq // pages_per_block
 
+    # pools carry D padded to the 128-lane tile (see paged_attention)
+    Dp = round_up(D, 128)
+    if Dpool == D and Dp != D:
+        pad = ((0, 0), (0, 0), (0, 0), (0, Dp - D))
+        k_pages = jnp.pad(k_pages, pad)
+        v_pages = jnp.pad(v_pages, pad)
+    else:
+        assert Dpool == Dp, (D, Dpool)
+
     # rows = (group, t) flattened so one grid cell handles a GQA group's
     # T tokens in a single MXU operand
     q4 = q.reshape(B, Hkv, group, T, D).reshape(B, Hkv, group * T, D)
+    if Dp != D:
+        q4 = jnp.pad(q4, ((0, 0), (0, 0), (0, 0), (0, Dp - D)))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(B, Hkv, n_blk),
         in_specs=[
-            pl.BlockSpec((1, 1, group * T, D),
+            pl.BlockSpec((1, 1, group * T, Dp),
                          lambda b, h, i, *_: (b, h, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),
             pl.BlockSpec(memory_space=pl.ANY),
         ],
-        out_specs=pl.BlockSpec((1, 1, group * T, D),
+        out_specs=pl.BlockSpec((1, 1, group * T, Dp),
                                lambda b, h, i, *_: (b, h, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((pages_per_block, page_size, D), k_pages.dtype),
-            pltpu.VMEM((pages_per_block, page_size, D), v_pages.dtype),
+            pltpu.VMEM((pages_per_block, page_size, Dp), k_pages.dtype),
+            pltpu.VMEM((pages_per_block, page_size, Dp), v_pages.dtype),
             pltpu.VMEM((group * T, 128), jnp.float32),
             pltpu.VMEM((group * T, 128), jnp.float32),
-            pltpu.VMEM((group * T, D), jnp.float32),
+            pltpu.VMEM((group * T, Dp), jnp.float32),
             pltpu.SemaphoreType.DMA((2, pages_per_block)),
         ],
     )
@@ -412,19 +448,21 @@ def paged_prefill_attention(q, k_pages, v_pages, lengths, page_table,
 
     out = pl.pallas_call(
         kernel,
-        out_shape=jax.ShapeDtypeStruct((B, Hkv, group * T, D), q.dtype),
+        out_shape=jax.ShapeDtypeStruct((B, Hkv, group * T, Dp), q.dtype),
         grid_spec=grid_spec,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary")),
         interpret=use_interpret() if interpret is None else interpret,
     )(lengths.astype(jnp.int32), page_table.reshape(-1).astype(jnp.int32),
       q4, k_pages, v_pages)
+    out = out[..., :D]
     return out.reshape(B, Hkv, group, T, D).reshape(B, Hq, T, D)
 
 
 def paged_prefill_ref(q, k_pages, v_pages, lengths, page_table):
     """XLA gather reference for paged_prefill_attention."""
     B, Hq, T, D = q.shape
+    k_pages, v_pages = k_pages[..., :D], v_pages[..., :D]
     Hkv, P, page_size, _ = k_pages.shape
     group = Hq // Hkv
     S = page_table.shape[1] * page_size
@@ -433,14 +471,16 @@ def paged_prefill_ref(q, k_pages, v_pages, lengths, page_table):
     v_seq = v_pages[:, page_table].transpose(1, 0, 2, 3, 4).reshape(
         B, Hkv, S, D)
     qf = q.reshape(B, Hkv, group, T, D).astype(jnp.float32)
-    s = jnp.einsum("bhgtd,bhkd->bhgtk", qf, k_seq.astype(jnp.float32))
+    s = jnp.einsum("bhgtd,bhkd->bhgtk", qf, k_seq.astype(jnp.float32),
+                   precision=jax.lax.Precision.HIGHEST)
     s *= 1.0 / math.sqrt(D)
     pos = jnp.arange(S)[None, None, None, None, :]
     limit = (lengths[:, None, None, None, None] - T
              + jnp.arange(T)[None, None, None, :, None] + 1)
     s = jnp.where(pos < limit, s, -jnp.inf)
     p = jax.nn.softmax(s, axis=-1)
-    o = jnp.einsum("bhgtk,bhkd->bhgtd", p, v_seq.astype(jnp.float32))
+    o = jnp.einsum("bhgtk,bhkd->bhgtd", p, v_seq.astype(jnp.float32),
+                   precision=jax.lax.Precision.HIGHEST)
     return o.reshape(B, Hq, T, D).astype(q.dtype)
 
 
@@ -451,6 +491,7 @@ register("paged_attention", "paged_prefix_prefill", ref=paged_prefill_ref)(
 def paged_attention_ref(q, k_pages, v_pages, lengths, page_table):
     """XLA gather reference."""
     B, Hq, D = q.shape
+    k_pages, v_pages = k_pages[..., :D], v_pages[..., :D]
     Hkv, P, page_size, _ = k_pages.shape
     group = Hq // Hkv
     pages_per_seq = page_table.shape[1]
@@ -461,12 +502,14 @@ def paged_attention_ref(q, k_pages, v_pages, lengths, page_table):
     v_seq = v_pages[:, page_table].transpose(1, 0, 2, 3, 4).reshape(
         B, Hkv, S, D)
     qf = q.reshape(B, Hkv, group, D).astype(jnp.float32)
-    s = jnp.einsum("bhgd,bhkd->bhgk", qf, k_seq.astype(jnp.float32))
+    s = jnp.einsum("bhgd,bhkd->bhgk", qf, k_seq.astype(jnp.float32),
+                   precision=jax.lax.Precision.HIGHEST)
     s *= 1.0 / math.sqrt(D)
     pos = jnp.arange(S)[None, None, None, :]
     s = jnp.where(pos < lengths[:, None, None, None], s, -jnp.inf)
     p = jax.nn.softmax(s, axis=-1)
-    o = jnp.einsum("bhgk,bhkd->bhgd", p, v_seq.astype(jnp.float32))
+    o = jnp.einsum("bhgk,bhkd->bhgd", p, v_seq.astype(jnp.float32),
+                   precision=jax.lax.Precision.HIGHEST)
     return o.reshape(B, Hq, D).astype(q.dtype)
 
 
