@@ -58,43 +58,76 @@ def _decode_kernel(lengths_ref, tables_ref, *refs,
         l_s[...] = jnp.zeros_like(l_s)
         acc_s[...] = jnp.zeros_like(acc_s)
 
-    run = blk * bk < length
-    if window is not None:
-        # sliding window: skip blocks entirely older than the window
-        run = jnp.logical_and(run, (blk + 1) * bk - 1 >= length - window)
+    def valid(t):
+        v = t * bk < length
+        if window is not None:
+            # sliding window: blocks entirely older than the window skip
+            # both their DMA and their compute
+            v = jnp.logical_and(v, (t + 1) * bk - 1 >= length - window)
+        return v
+
+    def fetch(t, slot):
+        """Copy descriptors for block t into buffer slot (0/1). Scales
+        land in LANE slices of an (8, bk) row buffer so they can multiply
+        the (group, bk) score row directly (no per-(bk, D) dequant
+        multiply — see the compute below)."""
+        cps = []
+        for p in range(pages_per_block):
+            page = tables_ref[b * pages_per_seq + t * pages_per_block + p]
+            cps.append(pltpu.make_async_copy(
+                k_hbm.at[h, page], k_buf.at[slot, p], sems.at[0, slot, p]))
+            cps.append(pltpu.make_async_copy(
+                v_hbm.at[h, page], v_buf.at[slot, p], sems.at[1, slot, p]))
+            if quantized:
+                cps.append(pltpu.make_async_copy(
+                    ks_hbm.at[h, page], ks_buf.at[slot, p],
+                    sems.at[2, slot, p]))
+                cps.append(pltpu.make_async_copy(
+                    vs_hbm.at[h, page], vs_buf.at[slot, p],
+                    sems.at[3, slot, p]))
+        return cps
+
+    def apply_row_scale(x, scales):
+        """x (rows, bk) * per-token scales (ppb, page), applied per
+        static page segment (lane-aligned value slices — no cross-
+        sublane/lane relayout needed)."""
+        segs = [x[:, i * page_size:(i + 1) * page_size]
+                * scales[i][None, :]
+                for i in range(pages_per_block)]
+        return segs[0] if len(segs) == 1 else jnp.concatenate(segs, axis=1)
+
+    # double-buffered page pipeline: block t's pages were started at step
+    # t-1 (or at t==0 below); start block t+1's DMAs BEFORE waiting on
+    # t's, so the fetch of the next block overlaps this block's compute
+    run = valid(blk)
+    slot = blk % 2
+
+    @pl.when(jnp.logical_and(blk == 0, run))
+    def _():
+        for c in fetch(0, 0):
+            c.start()
+
+    nxt = blk + 1
+
+    @pl.when(jnp.logical_and(nxt < n_blk, valid(nxt)))
+    def _():
+        for c in fetch(nxt, nxt % 2):
+            c.start()
 
     @pl.when(run)
     def _():
-        # fetch this block's pages (all DMAs in flight together); int8
-        # pages halve the decode DMA traffic, their per-token scales ride
-        # along as (page,) vectors
-        copies = []
-        for p in range(pages_per_block):
-            page = tables_ref[b * pages_per_seq + blk * pages_per_block + p]
-            copies.append(pltpu.make_async_copy(
-                k_hbm.at[h, page], k_buf.at[p], sems.at[0, p]))
-            copies.append(pltpu.make_async_copy(
-                v_hbm.at[h, page], v_buf.at[p], sems.at[1, p]))
-            if quantized:
-                copies.append(pltpu.make_async_copy(
-                    ks_hbm.at[h, page], ks_buf.at[p], sems.at[2, p]))
-                copies.append(pltpu.make_async_copy(
-                    vs_hbm.at[h, page], vs_buf.at[p], sems.at[3, p]))
-        for c in copies:
-            c.start()
-        for c in copies:
+        for c in fetch(blk, slot):
             c.wait()
 
         q = q_ref[0, 0]                                   # (group, D)
         if quantized:
-            # dequantize in VMEM: int8 value x per-token f32 scale.
-            # Broadcast in 3-D (scales on sublanes) BEFORE merging the
-            # page dims — Mosaic can't shape-cast a lane vector into a
-            # (bk, 1) sublane column.
-            k = (k_buf[...].astype(jnp.float32)
-                 * ks_buf[...][..., None]).astype(q.dtype).reshape(bk, D)
+            # cast-only dequant: quantized values are exact in bf16 (int8
+            # magnitudes <= 127), so cast once and fold the per-token
+            # scale into the SCORE row afterwards — a (group, bk) lane
+            # multiply instead of a (bk, D) dequant pass
+            k = k_buf[slot].astype(q.dtype).reshape(bk, D)
         else:
-            k = k_buf[...].reshape(bk, D)
+            k = k_buf[slot].reshape(bk, D)
         # f32 queries get true-f32 MXU passes (TPU DEFAULT runs f32
         # dots through bf16 multiplies, ~1e-3 relative — measured on v5e)
         prec = (jax.lax.Precision.HIGHEST if q.dtype == jnp.float32
@@ -103,6 +136,8 @@ def _decode_kernel(lengths_ref, tables_ref, *refs,
             q, k, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32,
             precision=prec)                               # (group, bk)
+        if quantized:
+            s = apply_row_scale(s, ks_buf[slot])
         s *= 1.0 / math.sqrt(sm_D if sm_D is not None else D)
         pos = blk * bk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(pos < length, s, mask_value)
@@ -118,10 +153,11 @@ def _decode_kernel(lengths_ref, tables_ref, *refs,
         l_s[:, :1] = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
         m_s[:, :1] = m_next
         if quantized:
-            v = (v_buf[...].astype(jnp.float32)
-                 * vs_buf[...][..., None]).astype(q.dtype).reshape(bk, D)
+            # fold V's per-token scale into p's columns (tiny) and cast V
+            v = v_buf[slot].astype(q.dtype).reshape(bk, D)
+            p = apply_row_scale(p, vs_buf[slot])
         else:
-            v = v_buf[...].reshape(bk, D)
+            v = v_buf[slot].reshape(bk, D)
         acc_s[...] = (acc_s[...] * alpha
                       + jax.lax.dot_general(
                           p.astype(v.dtype), v,
@@ -189,12 +225,12 @@ def paged_attention(q, k_pages, v_pages, lengths, page_table,
         out_specs=pl.BlockSpec((1, 1, group, Dp), lambda b, h, i, *_: (b, h, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((pages_per_block, page_size, Dp), k_pages.dtype),
-            pltpu.VMEM((pages_per_block, page_size, Dp), v_pages.dtype),
+            pltpu.VMEM((2, pages_per_block, page_size, Dp), k_pages.dtype),
+            pltpu.VMEM((2, pages_per_block, page_size, Dp), v_pages.dtype),
             pltpu.VMEM((group, 128), jnp.float32),
             pltpu.VMEM((group, 128), jnp.float32),
             pltpu.VMEM((group, Dp), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, pages_per_block)),
+            pltpu.SemaphoreType.DMA((2, 2, pages_per_block)),
         ],
     )
 
@@ -278,14 +314,14 @@ def paged_attention_quantized(q, k_pages, k_scales, v_pages, v_scales,
                                lambda b, h, i, *_: (b, h, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((pages_per_block, page_size, Dp), k_pages.dtype),
-            pltpu.VMEM((pages_per_block, page_size, Dp), v_pages.dtype),
-            pltpu.VMEM((pages_per_block, page_size), jnp.float32),
-            pltpu.VMEM((pages_per_block, page_size), jnp.float32),
+            pltpu.VMEM((2, pages_per_block, page_size, Dp), k_pages.dtype),
+            pltpu.VMEM((2, pages_per_block, page_size, Dp), v_pages.dtype),
+            pltpu.VMEM((2, pages_per_block, page_size), jnp.float32),
+            pltpu.VMEM((2, pages_per_block, page_size), jnp.float32),
             pltpu.VMEM((group, 128), jnp.float32),
             pltpu.VMEM((group, 128), jnp.float32),
             pltpu.VMEM((group, Dp), jnp.float32),
-            pltpu.SemaphoreType.DMA((4, pages_per_block)),
+            pltpu.SemaphoreType.DMA((4, 2, pages_per_block)),
         ],
     )
 
@@ -329,22 +365,39 @@ def _prefix_kernel(lengths_ref, tables_ref, *refs, page_size,
         l_s[...] = jnp.zeros_like(l_s)
         acc_s[...] = jnp.zeros_like(acc_s)
 
-    @pl.when(blk * bk < length)
-    def _():
-        copies = []
+    def fetch(t, slot):
+        cps = []
         for p in range(pages_per_block):
-            page = tables_ref[b * pages_per_seq + blk * pages_per_block + p]
-            copies.append(pltpu.make_async_copy(
-                k_hbm.at[h, page], k_buf.at[p], sems.at[0, p]))
-            copies.append(pltpu.make_async_copy(
-                v_hbm.at[h, page], v_buf.at[p], sems.at[1, p]))
-        for c in copies:
+            page = tables_ref[b * pages_per_seq + t * pages_per_block + p]
+            cps.append(pltpu.make_async_copy(
+                k_hbm.at[h, page], k_buf.at[slot, p], sems.at[0, slot, p]))
+            cps.append(pltpu.make_async_copy(
+                v_hbm.at[h, page], v_buf.at[slot, p], sems.at[1, slot, p]))
+        return cps
+
+    # double-buffered page pipeline (see _decode_kernel)
+    run = blk * bk < length
+    slot = blk % 2
+
+    @pl.when(jnp.logical_and(blk == 0, run))
+    def _():
+        for c in fetch(0, 0):
             c.start()
-        for c in copies:
+
+    nxt = blk + 1
+
+    @pl.when(jnp.logical_and(nxt < n_blk, nxt * bk < length))
+    def _():
+        for c in fetch(nxt, nxt % 2):
+            c.start()
+
+    @pl.when(run)
+    def _():
+        for c in fetch(blk, slot):
             c.wait()
 
         q = q_ref[0, 0]                                   # (rows, D)
-        k = k_buf[...].reshape(bk, D)
+        k = k_buf[slot].reshape(bk, D)
         prec = (jax.lax.Precision.HIGHEST if q.dtype == jnp.float32
                 else None)
         s = jax.lax.dot_general(
@@ -366,7 +419,7 @@ def _prefix_kernel(lengths_ref, tables_ref, *refs, page_size,
         p = jnp.exp(s - m_next)
         l_s[:, :1] = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
         m_s[:, :1] = m_next
-        v = v_buf[...].reshape(bk, D)
+        v = v_buf[slot].reshape(bk, D)
         acc_s[...] = (acc_s[...] * alpha
                       + jax.lax.dot_general(
                           p.astype(v.dtype), v,
@@ -432,12 +485,12 @@ def paged_prefill_attention(q, k_pages, v_pages, lengths, page_table,
                                lambda b, h, i, *_: (b, h, 0, 0),
                                memory_space=pltpu.VMEM),
         scratch_shapes=[
-            pltpu.VMEM((pages_per_block, page_size, Dp), k_pages.dtype),
-            pltpu.VMEM((pages_per_block, page_size, Dp), v_pages.dtype),
+            pltpu.VMEM((2, pages_per_block, page_size, Dp), k_pages.dtype),
+            pltpu.VMEM((2, pages_per_block, page_size, Dp), v_pages.dtype),
             pltpu.VMEM((group * T, 128), jnp.float32),
             pltpu.VMEM((group * T, 128), jnp.float32),
             pltpu.VMEM((group * T, Dp), jnp.float32),
-            pltpu.SemaphoreType.DMA((2, pages_per_block)),
+            pltpu.SemaphoreType.DMA((2, 2, pages_per_block)),
         ],
     )
 
