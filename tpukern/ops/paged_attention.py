@@ -128,9 +128,11 @@ def _decode_kernel(lengths_ref, tables_ref, *refs,
             k = k_buf[slot].astype(q.dtype).reshape(bk, D)
         else:
             k = k_buf[slot].reshape(bk, D)
-        # f32 queries get true-f32 MXU passes (TPU DEFAULT runs f32
-        # dots through bf16 multiplies, ~1e-3 relative — measured on v5e)
-        prec = (jax.lax.Precision.HIGHEST if q.dtype == jnp.float32
+        # all-f32 dots get true-f32 MXU passes (TPU DEFAULT runs f32
+        # through bf16 multiplies, ~1e-3 relative); HIGHEST on a bf16
+        # operand is REJECTED by Mosaic, so key on both dtypes
+        prec = (jax.lax.Precision.HIGHEST
+                if q.dtype == jnp.float32 and k.dtype == jnp.float32
                 else None)
         s = jax.lax.dot_general(
             q, k, dimension_numbers=(((1,), (1,)), ((), ())),
@@ -163,7 +165,9 @@ def _decode_kernel(lengths_ref, tables_ref, *refs,
                           p.astype(v.dtype), v,
                           dimension_numbers=(((1,), (0,)), ((), ())),
                           preferred_element_type=jnp.float32,
-                          precision=prec))
+                          precision=(jax.lax.Precision.HIGHEST
+                                     if v.dtype == jnp.float32
+                                     else None)))
 
     @pl.when(blk == n_blk - 1)
     def _():
@@ -398,7 +402,8 @@ def _prefix_kernel(lengths_ref, tables_ref, *refs, page_size,
 
         q = q_ref[0, 0]                                   # (rows, D)
         k = k_buf[slot].reshape(bk, D)
-        prec = (jax.lax.Precision.HIGHEST if q.dtype == jnp.float32
+        prec = (jax.lax.Precision.HIGHEST
+                if q.dtype == jnp.float32 and k.dtype == jnp.float32
                 else None)
         s = jax.lax.dot_general(
             q, k, dimension_numbers=(((1,), (1,)), ((), ())),
@@ -425,7 +430,9 @@ def _prefix_kernel(lengths_ref, tables_ref, *refs, page_size,
                           p.astype(v.dtype), v,
                           dimension_numbers=(((1,), (0,)), ((), ())),
                           preferred_element_type=jnp.float32,
-                          precision=prec))
+                          precision=(jax.lax.Precision.HIGHEST
+                                     if v.dtype == jnp.float32
+                                     else None)))
 
     @pl.when(blk == n_blk - 1)
     def _():
