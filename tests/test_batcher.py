@@ -79,3 +79,61 @@ def test_eos_frees_slot(setup):
                            prompt_buckets=(64,), eos_id=int(eos))
     cb.run([("x", prompts[0])])
     assert cb.finished["x"] == ref[:3]
+
+
+def test_speculative_batcher_matches_isolated(setup):
+    """Batched speculative decoding (per-slot acceptance) emits exactly
+    the isolated greedy tokens for every request — while admitting the
+    third request mid-stream through 2 shared slots."""
+    from tpukern.models.batcher import SpeculativeBatcher
+
+    params, prompts = setup
+    draft_cfg = Config(vocab=CFG.vocab, d_model=64, n_layers=1,
+                       n_heads=2, n_kv_heads=2, d_ff=128, max_seq=512)
+    draft = init_params(draft_cfg, jax.random.key(7))
+    refs = [_reference_tokens(params, p) for p in prompts]
+
+    sb = SpeculativeBatcher(params, CFG, draft, draft_cfg, n_slots=2,
+                            pages_per_seq=2, gamma=3, page_size=128,
+                            max_new_tokens=N_NEW, prompt_buckets=(64,))
+    finished = sb.run([(i, p) for i, p in enumerate(prompts)])
+    assert set(finished) == {0, 1, 2}
+    for i, ref in enumerate(refs):
+        assert finished[i] == ref, (i, finished[i], ref)
+
+
+def test_speculative_batcher_self_draft(setup):
+    """Draft == target: every slot fully accepts every round (gamma+1
+    tokens per slot per step), still token-exact."""
+    from tpukern.models.batcher import SpeculativeBatcher
+
+    params, prompts = setup
+    refs = [_reference_tokens(params, p) for p in prompts[:2]]
+    sb = SpeculativeBatcher(params, CFG, params, CFG, n_slots=2,
+                            pages_per_seq=2, gamma=3, page_size=128,
+                            max_new_tokens=N_NEW, prompt_buckets=(64,))
+    sb.add_request(0, prompts[0])
+    sb.add_request(1, prompts[1])
+    steps = 0
+    while sb.active.any():
+        sb.step()
+        steps += 1
+    for i, ref in enumerate(refs):
+        assert sb.finished[i] == ref, (i, sb.finished[i], ref)
+    # full acceptance -> ceil(6 / (gamma+1)) = 2 rounds, not 6
+    assert steps == 2
+
+
+def test_speculative_batcher_eos(setup):
+    """EOS mid-accepted-prefix frees the slot with the right tokens."""
+    from tpukern.models.batcher import SpeculativeBatcher
+
+    params, prompts = setup
+    ref = _reference_tokens(params, prompts[0])
+    eos = ref[2]
+    sb = SpeculativeBatcher(params, CFG, params, CFG, n_slots=1,
+                            pages_per_seq=2, gamma=3, page_size=128,
+                            max_new_tokens=N_NEW, prompt_buckets=(64,),
+                            eos_id=int(eos))
+    sb.run([("x", prompts[0])])
+    assert sb.finished["x"] == ref[:3]

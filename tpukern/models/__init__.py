@@ -11,11 +11,11 @@ from tpukern.models.transformer import (
     param_specs,
 )
 
-from tpukern.models.batcher import ContinuousBatcher
+from tpukern.models.batcher import ContinuousBatcher, SpeculativeBatcher
 
 __all__ = [
     "Config", "init_params", "forward", "loss_fn", "make_train_step",
     "make_sharded_grad_fn", "make_sharded_train_step", "param_specs",
     "init_moe_params", "moe_block", "moe_param_specs",
-    "aux_load_balance_loss", "ContinuousBatcher",
+    "aux_load_balance_loss", "ContinuousBatcher", "SpeculativeBatcher",
 ]

@@ -20,7 +20,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from tpukern.models.serving import (KVCache, decode_step, init_cache,
-                                    prefill)
+                                    prefill, rollback, verify_step)
 
 
 def _bucket(n, buckets):
@@ -71,13 +71,14 @@ class ContinuousBatcher:
     def free_slots(self):
         return [i for i in range(self.n_slots) if not self.active[i]]
 
-    def _prefill_fn(self, bucket):
+    def _prefill_fn(self, bucket, cfg=None):
         """Jitted single-slot prefill, one compilation per bucket length:
         runs on a 1-sequence view of the shared cache (the slot's page-
         table row + a zero start), then scatters lengths back."""
-        if bucket in self._prefill:
-            return self._prefill[bucket]
-        cfg = self.cfg
+        cfg = cfg or self.cfg
+        key = (bucket, cfg)
+        if key in self._prefill:
+            return self._prefill[key]
 
         def fn(params, tokens, true_len, cache, slot):
             view = KVCache(
@@ -90,8 +91,8 @@ class ContinuousBatcher:
             return logits[0], KVCache(view.k_pages, view.v_pages,
                                       cache.page_table, lengths)
 
-        self._prefill[bucket] = jax.jit(fn)
-        return self._prefill[bucket]
+        self._prefill[key] = jax.jit(fn)
+        return self._prefill[key]
 
     def add_request(self, request_id, prompt_ids):
         """Admit a prompt into a free slot (raises if none free)."""
@@ -164,3 +165,127 @@ class ContinuousBatcher:
                 break
             self.step()
         return self.finished
+
+
+class SpeculativeBatcher(ContinuousBatcher):
+    """Continuous batching WITH batched speculative decoding.
+
+    Every step: all active slots draft `gamma` tokens with the small
+    model (gamma batched draft decode steps), the target scores every
+    slot's gamma+1 candidates in ONE batched verify_step (the paged
+    prefix-prefill kernel), and each slot accepts its longest matching
+    prefix — so a slot emits 1..gamma+1 tokens per target pass while
+    the emitted streams stay EXACTLY equal to target-only greedy
+    decoding (same invariant as models/speculative.py, now across a
+    whole slot pool with per-slot acceptance lengths).
+
+    Cache discipline per round (both pools, per-slot lengths):
+    n -> draft to n+gamma -> verify to n+gamma+1 -> accept j_b ->
+    roll both back to n + j_b + 1 (full-accept slots first run one
+    masked draft catch-up step for d_gamma).
+    """
+
+    def __init__(self, params, cfg, draft_params, draft_cfg, n_slots,
+                 pages_per_seq, gamma=4, page_size=128, **kw):
+        assert kw.get("greedy", True), \
+            "speculative batching is greedy-only (exactness invariant)"
+        super().__init__(params, cfg, n_slots, pages_per_seq,
+                         page_size=page_size, **kw)
+        self.draft_params = draft_params
+        self.draft_cfg = draft_cfg
+        self.gamma = gamma
+        self.dcache = init_cache(draft_cfg, n_slots, pages_per_seq,
+                                 page_size)
+        self._ddecode = jax.jit(
+            lambda p, toks, cache, act: decode_step(p, draft_cfg, toks,
+                                                    cache, active=act))
+        self._verify = jax.jit(
+            lambda p, toks, cache: verify_step(p, cfg, toks, cache))
+
+    def add_request(self, request_id, prompt_ids):
+        prompt_ids = np.asarray(prompt_ids, np.int32)
+        assert (len(prompt_ids) + self.max_new + self.gamma + 1
+                <= self.max_len), "prompt too long for speculative rounds"
+        slot = super().add_request(request_id, prompt_ids)
+        # draft prefill into the same slot (its logits are unused: the
+        # first draft proposal starts from the target-sampled last token)
+        bucket = _bucket(len(prompt_ids), self.buckets)
+        padded = np.zeros(bucket, np.int32)
+        padded[:len(prompt_ids)] = prompt_ids
+        _, self.dcache = self._prefill_fn(bucket, self.draft_cfg)(
+            self.draft_params, jnp.asarray(padded[None]),
+            jnp.int32(len(prompt_ids)), self.dcache, jnp.int32(slot))
+        return slot
+
+    def step(self):
+        """One speculative round across all active slots; returns the
+        number of tokens emitted."""
+        if not self.active.any():
+            return 0
+        g = self.gamma
+        act = jnp.asarray(self.active)
+        n_before = np.asarray(self.cache.lengths).copy()
+
+        # 1. batched drafting: gamma small-model decode steps
+        drafts = np.zeros((self.n_slots, g), np.int32)
+        cur = np.asarray(self.last_tok).copy()
+        for i in range(g):
+            dl, self.dcache = self._ddecode(
+                self.draft_params, jnp.asarray(cur), self.dcache, act)
+            cur = np.asarray(jnp.argmax(dl, -1), np.int32)
+            drafts[:, i] = cur
+
+        # 2. one batched target verification over g+1 candidates/slot
+        cand = np.concatenate(
+            [np.asarray(self.last_tok)[:, None], drafts], axis=1)
+        vl, self.cache = self._verify(self.params,
+                                      jnp.asarray(cand), self.cache)
+        greedy = np.asarray(jnp.argmax(vl, -1))          # (B, g+1)
+
+        # 3. per-slot acceptance, emission, EOS/budget bookkeeping
+        new_len = n_before + g + 1  # verify advanced everyone; fix below
+        full_accept = np.zeros(self.n_slots, bool)
+        n_emitted = 0
+        for slot in range(self.n_slots):
+            if not self.active[slot]:
+                new_len[slot] = n_before[slot]
+                continue
+            j = 0
+            while j < g and drafts[slot, j] == int(greedy[slot, j]):
+                j += 1
+            full_accept[slot] = j == g
+            rid = self.slot_request[slot]
+            tokens = [int(self.last_tok[slot])] + \
+                [int(t) for t in drafts[slot, :j]]
+            done = False
+            emitted = 0
+            for tok in tokens:
+                self.outputs[rid].append(tok)
+                self.n_generated[slot] += 1
+                emitted += 1
+                if ((self.eos_id is not None and tok == self.eos_id)
+                        or self.n_generated[slot] >= self.max_new):
+                    done = True
+                    break
+            n_emitted += emitted
+            if done:
+                self.active[slot] = False
+                self.finished[rid] = self.outputs.pop(rid)
+                self.slot_request[slot] = None
+                new_len[slot] = n_before[slot]  # freed; value is dead
+            else:
+                self.last_tok[slot] = int(greedy[slot, j])
+                new_len[slot] = n_before[slot] + j + 1
+
+        # 4. target rollback to the accepted lengths
+        self.cache = rollback(self.cache, new_len)
+
+        # 5. draft catch-up for full-accept slots (they never saw d_g),
+        # then rollback
+        catch = full_accept & self.active
+        if catch.any():
+            _, self.dcache = self._ddecode(
+                self.draft_params, jnp.asarray(drafts[:, -1]),
+                self.dcache, jnp.asarray(catch))
+        self.dcache = rollback(self.dcache, new_len)
+        return n_emitted
