@@ -130,21 +130,17 @@ def _fa_kernel(*refs, causal, block_q, block_k, with_stats,
     # f32 dots through bf16 multiplies (~1e-3 relative error)
     prec = None if use_exp2 else jax.lax.Precision.HIGHEST
 
-    @pl.when(should_run)
-    def _():
+    def body(mask_causal):
         q = q_ref[0, 0]
         k = k_ref[0, 0]
         s = jax.lax.dot_general(
             q, k, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=prec)
-        # NOTE: a lax.cond fast path skipping the mask on fully-visible
-        # causal blocks measured 40% SLOWER (the branch breaks Mosaic's
-        # grid pipelining) — mask unconditionally instead.
-        need_cols = causal or has_alibi or kv_len is not None
+        need_cols = mask_causal or has_alibi or kv_len is not None
         if need_cols:
             cols = (jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
                     + ki * block_k)
-        if causal or has_alibi:
+        if mask_causal or has_alibi:
             rows = (jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
                     + qi * block_q)
         if has_alibi:
@@ -152,7 +148,7 @@ def _fa_kernel(*refs, causal, block_q, block_k, with_stats,
             # kernels/openai-triton/prefix_prefill_alibi.py); the slope is
             # pre-multiplied by log2(e) to stay in log2 space
             s = s + slopes_ref[h] * (cols - rows).astype(jnp.float32)
-        if causal:
+        if mask_causal:
             s = jnp.where(cols <= rows + causal_offset, s, NEG_BIG)
             if window is not None:
                 # sliding window: only the last `window` kv positions
@@ -180,6 +176,27 @@ def _fa_kernel(*refs, causal, block_q, block_k, with_stats,
         # mixed-dtype stores are rejected by Pallas
         acc_ref[...] = (acc_ref[...].astype(jnp.float32) * alpha + pv
                         ).astype(acc_ref.dtype)
+
+    # Diagonal specialization WITHOUT lax.cond (a cond fast path measured
+    # 40% slower — it breaks grid pipelining): two disjoint pl.when
+    # regions, so fully-visible interior blocks skip the whole iota/
+    # compare/select mask chain (~3 VPU passes over (bq, bk) per block).
+    if causal and not has_alibi and window is None:
+        fully_visible = ((ki + 1) * block_k - 1
+                         <= qi * block_q + causal_offset)
+
+        @pl.when(jnp.logical_and(should_run, fully_visible))
+        def _():
+            body(False)
+
+        @pl.when(jnp.logical_and(should_run,
+                                 jnp.logical_not(fully_visible)))
+        def _():
+            body(True)
+    else:
+        @pl.when(should_run)
+        def _():
+            body(causal)
 
     @pl.when(ki == pl.num_programs(3) - 1)
     def _():
@@ -459,18 +476,17 @@ def _fa_tpv_kernel(*refs, causal, block_q, block_k, causal_offset,
         should_run = True
     prec = None if use_exp2 else jax.lax.Precision.HIGHEST
 
-    @pl.when(should_run)
-    def _():
+    def body(mask_causal):
         qT = qT_ref[0, 0]                                  # (D, bq)
         k = k_ref[0, 0]                                    # (bk, D)
         sT = jax.lax.dot_general(
             k, qT, dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=prec)  # (bk, bq)
-        need_mask = causal or kv_len is not None
+        need_mask = mask_causal or kv_len is not None
         if need_mask:
             kv_pos = (jax.lax.broadcasted_iota(jnp.int32, sT.shape, 0)
                       + ki * block_k)
-        if causal:
+        if mask_causal:
             q_pos = (jax.lax.broadcasted_iota(jnp.int32, sT.shape, 1)
                      + qi * block_q)
             sT = jnp.where(kv_pos <= q_pos + causal_offset, sT, NEG_BIG)
@@ -492,6 +508,25 @@ def _fa_tpv_kernel(*refs, causal, block_q, block_k, causal_offset,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=prec)  # (D, bq)
         acc_ref[...] = acc_ref[...] * alpha + pv
+
+    # diagonal specialization: interior causal blocks skip the mask chain
+    # entirely (two disjoint pl.when regions, see _fa_kernel)
+    if causal:
+        fully_visible = ((ki + 1) * block_k - 1
+                         <= qi * block_q + causal_offset)
+
+        @pl.when(jnp.logical_and(should_run, fully_visible))
+        def _():
+            body(False)
+
+        @pl.when(jnp.logical_and(should_run,
+                                 jnp.logical_not(fully_visible)))
+        def _():
+            body(True)
+    else:
+        @pl.when(should_run)
+        def _():
+            body(False)
 
     @pl.when(ki == pl.num_programs(3) - 1)
     def _():
