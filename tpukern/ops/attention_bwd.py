@@ -159,8 +159,7 @@ def _dq_t_kernel(qT_ref, k_ref, v_ref, doT_ref, lse_ref, di_ref, dqT_ref,
     run = (qi + 1) * block_q - 1 >= ki * block_k if causal else True
     prec = None if use_exp2 else jax.lax.Precision.HIGHEST
 
-    @pl.when(run)
-    def _():
+    def body(mask_causal):
         qT = qT_ref[0, 0]                 # (D, bq)
         k = k_ref[0, 0]                   # (bk, D)
         v = v_ref[0, 0]
@@ -173,7 +172,7 @@ def _dq_t_kernel(qT_ref, k_ref, v_ref, doT_ref, lse_ref, di_ref, dqT_ref,
             preferred_element_type=jnp.float32, precision=prec
         ) * (scale * (LOG2E if use_exp2 else 1.0))     # (bk, bq)
         pT = (jnp.exp2 if use_exp2 else jnp.exp)(sT - lse)
-        if causal:
+        if mask_causal:
             kv_rows = (jax.lax.broadcasted_iota(jnp.int32, sT.shape, 0)
                        + ki * block_k)
             q_cols = (jax.lax.broadcasted_iota(jnp.int32, sT.shape, 1)
@@ -196,6 +195,23 @@ def _dq_t_kernel(qT_ref, k_ref, v_ref, doT_ref, lse_ref, di_ref, dqT_ref,
             dimension_numbers=(((0,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=prec)
 
+    # diagonal specialization (see ops/attention.py): interior causal
+    # blocks skip the mask chain via disjoint pl.when regions
+    if causal:
+        fully = (ki + 1) * block_k - 1 <= qi * block_q
+
+        @pl.when(jnp.logical_and(run, fully))
+        def _():
+            body(False)
+
+        @pl.when(jnp.logical_and(run, jnp.logical_not(fully)))
+        def _():
+            body(True)
+    else:
+        @pl.when(run)
+        def _():
+            body(False)
+
 
 def _dkv_t_kernel(qT_ref, k_ref, v_ref, doT_ref, lse_ref, di_ref,
                   dkT_ref, dvT_ref, *, scale, causal, block_q, block_k,
@@ -216,8 +232,7 @@ def _dkv_t_kernel(qT_ref, k_ref, v_ref, doT_ref, lse_ref, di_ref,
     run = (qi + 1) * block_q - 1 >= ki * block_k if causal else True
     prec = None if use_exp2 else jax.lax.Precision.HIGHEST
 
-    @pl.when(run)
-    def _():
+    def body(mask_causal):
         qT = qT_ref[0, 0]                 # (D, bq)
         k = k_ref[0, 0]                   # (bk, D)
         v = v_ref[0, 0]
@@ -231,10 +246,10 @@ def _dkv_t_kernel(qT_ref, k_ref, v_ref, doT_ref, lse_ref, di_ref,
             preferred_element_type=jnp.float32, precision=prec
         ) * (scale * (LOG2E if use_exp2 else 1.0))     # (bq, bk)
         p = (jnp.exp2 if use_exp2 else jnp.exp)(s - lse)
-        if causal or q_len is not None:
+        if mask_causal or q_len is not None:
             q_rows = (jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
                       + qi * block_q)
-        if causal:
+        if mask_causal:
             kv_cols = (jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
                        + ki * block_k)
             p = jnp.where(kv_cols <= q_rows, p, 0.0)
@@ -259,6 +274,21 @@ def _dkv_t_kernel(qT_ref, k_ref, v_ref, doT_ref, lse_ref, di_ref,
             qT, ds.astype(qT.dtype),
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=prec)
+
+    if causal:
+        fully = (ki + 1) * block_k - 1 <= qi * block_q
+
+        @pl.when(jnp.logical_and(run, fully))
+        def _():
+            body(False)
+
+        @pl.when(jnp.logical_and(run, jnp.logical_not(fully)))
+        def _():
+            body(True)
+    else:
+        @pl.when(run)
+        def _():
+            body(False)
 
 
 def flash_attention_bwd(q, k, v, o, lse, do, *, causal=False, sm_scale=None,
