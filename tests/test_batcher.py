@@ -137,3 +137,36 @@ def test_speculative_batcher_eos(setup):
                             eos_id=int(eos))
     sb.run([("x", prompts[0])])
     assert sb.finished["x"] == ref[:3]
+
+
+def test_pages_per_block_length_hint():
+    """The length-aware pick: largest power-of-two batch that fits the
+    live page range (and divides the pool)."""
+    from tpukern.models.serving import _pages_per_block
+
+    assert _pages_per_block(16) == 8                 # no hint: largest
+    assert _pages_per_block(16, max_live_pages=16) == 8
+    assert _pages_per_block(16, max_live_pages=8) == 8
+    assert _pages_per_block(16, max_live_pages=5) == 4
+    assert _pages_per_block(16, max_live_pages=3) == 2
+    assert _pages_per_block(16, max_live_pages=1) == 1
+    assert _pages_per_block(16, max_live_pages=0) == 1
+    assert _pages_per_block(2, max_live_pages=7) == 2  # capped by pool
+
+
+def test_short_context_picks_small_ppb(setup):
+    """A batcher over a deep page pool must not DMA 8-page blocks for a
+    17-token prompt — and the tokens must not change with the pick."""
+    params, prompts = setup
+    ref = _reference_tokens(params, prompts[0])
+
+    cb = ContinuousBatcher(params, CFG, n_slots=1, pages_per_seq=8,
+                           page_size=128, max_new_tokens=N_NEW,
+                           prompt_buckets=(64,))
+    cb.add_request("a", prompts[0])
+    assert cb._pick_ppb(cb.host_len[cb.active].max() + 1) == 1
+    while cb.active.any():
+        cb.step()
+    # only the short-context variant was ever compiled
+    assert set(cb._decode_fns) == {1}
+    assert cb.finished["a"] == ref

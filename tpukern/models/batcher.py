@@ -19,8 +19,9 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from tpukern.models.serving import (KVCache, decode_step, init_cache,
-                                    prefill, rollback, verify_step)
+from tpukern.models.serving import (KVCache, _pages_per_block, decode_step,
+                                    init_cache, prefill, rollback,
+                                    verify_step)
 
 
 def _bucket(n, buckets):
@@ -53,18 +54,38 @@ class ContinuousBatcher:
         self.key = jax.random.key(seed)
 
         self.cache = init_cache(cfg, n_slots, pages_per_seq, page_size)
+        self.page_size = page_size
+        self.pages_per_seq = pages_per_seq
         self.max_len = pages_per_seq * page_size
         self.active = np.zeros(n_slots, bool)
         self.last_tok = np.zeros(n_slots, np.int32)
         self.n_generated = np.zeros(n_slots, np.int32)
+        # host mirror of each slot's live token count: lets step() pick a
+        # length-aware page-DMA batch without a device readback
+        self.host_len = np.zeros(n_slots, np.int64)
         self.slot_request = [None] * n_slots
         self.outputs = {}      # request_id -> [tokens so far]
         self.finished = {}     # request_id -> [tokens]
 
-        self._decode = jax.jit(
-            lambda p, toks, cache, act: decode_step(p, cfg, toks, cache,
-                                                    active=act))
+        self._decode_fns = {}  # pages_per_block -> jitted decode step
         self._prefill = {}     # bucket -> jitted single-slot prefill
+
+    def _decode_fn(self, ppb):
+        """Jitted batched decode with a static pages_per_block (at most
+        4 compilations: ppb is a power of two <= 8)."""
+        if ppb not in self._decode_fns:
+            cfg = self.cfg
+            self._decode_fns[ppb] = jax.jit(
+                lambda p, toks, cache, act: decode_step(
+                    p, cfg, toks, cache, active=act, pages_per_block=ppb))
+        return self._decode_fns[ppb]
+
+    def _pick_ppb(self, max_live):
+        """Length-aware page-DMA batch for the current step: the largest
+        block that fits the longest active sequence (waste <= 1 partial
+        block per slot)."""
+        live_pages = -(-int(max_live) // self.page_size)  # ceil
+        return _pages_per_block(self.pages_per_seq, live_pages)
 
     # -- admission ---------------------------------------------------------
 
@@ -112,6 +133,7 @@ class ContinuousBatcher:
             jnp.int32(true_len), self.cache, jnp.int32(slot))
         self.active[slot] = True
         self.n_generated[slot] = 0
+        self.host_len[slot] = true_len
         self.slot_request[slot] = request_id
         self.outputs[request_id] = []
         self.last_tok[slot] = int(self._sample(logits[None])[0])
@@ -130,9 +152,13 @@ class ContinuousBatcher:
         slots and frees slots that hit EOS or the token budget."""
         if not self.active.any():
             return 0
-        logits, self.cache = self._decode(
+        # attention this step sees each slot's history + the token being
+        # written now, hence the +1
+        ppb = self._pick_ppb(self.host_len[self.active].max() + 1)
+        logits, self.cache = self._decode_fn(ppb)(
             self.params, jnp.asarray(self.last_tok), self.cache,
             jnp.asarray(self.active))
+        self.host_len[self.active] += 1
         next_tok = self._sample(logits)
         n_emitted = 0
         for slot in range(self.n_slots):
@@ -196,11 +222,24 @@ class SpeculativeBatcher(ContinuousBatcher):
         self.gamma = gamma
         self.dcache = init_cache(draft_cfg, n_slots, pages_per_seq,
                                  page_size)
-        self._ddecode = jax.jit(
-            lambda p, toks, cache, act: decode_step(p, draft_cfg, toks,
-                                                    cache, active=act))
-        self._verify = jax.jit(
-            lambda p, toks, cache: verify_step(p, cfg, toks, cache))
+        self._ddecode_fns = {}
+        self._verify_fns = {}
+
+    def _ddecode_fn(self, ppb):
+        if ppb not in self._ddecode_fns:
+            dcfg = self.draft_cfg
+            self._ddecode_fns[ppb] = jax.jit(
+                lambda p, toks, cache, act: decode_step(
+                    p, dcfg, toks, cache, active=act, pages_per_block=ppb))
+        return self._ddecode_fns[ppb]
+
+    def _verify_fn(self, ppb):
+        if ppb not in self._verify_fns:
+            cfg = self.cfg
+            self._verify_fns[ppb] = jax.jit(
+                lambda p, toks, cache: verify_step(
+                    p, cfg, toks, cache, pages_per_block=ppb))
+        return self._verify_fns[ppb]
 
     def add_request(self, request_id, prompt_ids):
         prompt_ids = np.asarray(prompt_ids, np.int32)
@@ -225,12 +264,15 @@ class SpeculativeBatcher(ContinuousBatcher):
         g = self.gamma
         act = jnp.asarray(self.active)
         n_before = np.asarray(self.cache.lengths).copy()
+        # the round touches up to n + gamma + 1 tokens of the longest
+        # active slot; pick one page-DMA batch for the whole round
+        ppb = self._pick_ppb(n_before[self.active].max() + g + 1)
 
         # 1. batched drafting: gamma small-model decode steps
         drafts = np.zeros((self.n_slots, g), np.int32)
         cur = np.asarray(self.last_tok).copy()
         for i in range(g):
-            dl, self.dcache = self._ddecode(
+            dl, self.dcache = self._ddecode_fn(ppb)(
                 self.draft_params, jnp.asarray(cur), self.dcache, act)
             cur = np.asarray(jnp.argmax(dl, -1), np.int32)
             drafts[:, i] = cur
@@ -238,8 +280,8 @@ class SpeculativeBatcher(ContinuousBatcher):
         # 2. one batched target verification over g+1 candidates/slot
         cand = np.concatenate(
             [np.asarray(self.last_tok)[:, None], drafts], axis=1)
-        vl, self.cache = self._verify(self.params,
-                                      jnp.asarray(cand), self.cache)
+        vl, self.cache = self._verify_fn(ppb)(self.params,
+                                              jnp.asarray(cand), self.cache)
         greedy = np.asarray(jnp.argmax(vl, -1))          # (B, g+1)
 
         # 3. per-slot acceptance, emission, EOS/budget bookkeeping
@@ -284,8 +326,9 @@ class SpeculativeBatcher(ContinuousBatcher):
         # then rollback
         catch = full_accept & self.active
         if catch.any():
-            _, self.dcache = self._ddecode(
+            _, self.dcache = self._ddecode_fn(ppb)(
                 self.draft_params, jnp.asarray(drafts[:, -1]),
                 self.dcache, jnp.asarray(catch))
         self.dcache = rollback(self.dcache, new_len)
+        self.host_len[:] = new_len
         return n_emitted

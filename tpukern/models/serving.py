@@ -59,13 +59,22 @@ def init_cache(cfg: Config, batch, pages_per_seq, page_size=128,
     )
 
 
-def _pages_per_block(pages_per_seq):
-    """Largest page-DMA batch that divides the sequence's page count.
+def _pages_per_block(pages_per_seq, max_live_pages=None):
+    """Page-DMA batch size that divides the sequence's page count.
     Bigger batches amortize grid-step overhead (v5e: ppb 4 -> 8 -> 16
-    measured 174 -> 145 -> 121 us at the long-context decode shape); 8
-    balances that against wasted DMA on short sequences (skip
-    granularity is a whole block)."""
-    return max(d for d in (8, 4, 2, 1) if pages_per_seq % d == 0)
+    measured 174 -> 145 -> 121 us at the long-context decode shape), but
+    skip granularity is a whole block: at short contexts a big block
+    DMAs pages past the live range for nothing. With a max_live_pages
+    hint (host-known in the serving drivers), pick the largest batch
+    that still fits the live range — the per-step waste is then bounded
+    by one partial block. Candidates are powers of two, so a driver
+    compiles at most 4 kernel variants."""
+    cands = [d for d in (8, 4, 2, 1) if pages_per_seq % d == 0]
+    if max_live_pages is not None:
+        fit = [d for d in cands if d <= max(int(max_live_pages), 1)]
+        if fit:
+            return fit[0]
+    return cands[0]
 
 
 def _write_tokens(pages, layer, new, table, start):
@@ -168,13 +177,15 @@ def prefill(params, cfg: Config, tokens, cache: KVCache, last_index=None):
 
 
 def decode_step(params, cfg: Config, last_tokens, cache: KVCache,
-                active=None):
+                active=None, pages_per_block=None):
     """One continuous-batching decode step: last_tokens (B,) -> logits
     (B, vocab). Attention runs the paged-decode Pallas kernel against the
     page pool (ops/paged_attention.py). active (B,) bool masks which
     slots advance (inactive slots' lengths don't move; their page writes
     land at the frozen length position, which stays dead — it is
-    overwritten by the next real token before the length covers it)."""
+    overwritten by the next real token before the length covers it).
+    pages_per_block (static) overrides the DMA batch pick — serving
+    drivers pass a length-aware value (_pages_per_block hint)."""
     B = last_tokens.shape[0]
     h = jnp.take(params["embed"], last_tokens, axis=0)[:, None, :]  # (B,1,d)
     positions = cache.lengths[:, None]  # (B, 1)
@@ -186,7 +197,8 @@ def decode_step(params, cfg: Config, last_tokens, cache: KVCache,
                                 cache.lengths)
         v_pages = _write_tokens(v_pages, li, v, cache.page_table,
                                 cache.lengths)
-        ppb = _pages_per_block(cache.page_table.shape[1])
+        ppb = (pages_per_block if pages_per_block is not None
+               else _pages_per_block(cache.page_table.shape[1]))
         o = paged_attention(q[:, :, 0], k_pages[li], v_pages[li],
                             cache.lengths + 1, cache.page_table,
                             pages_per_block=ppb)
@@ -201,12 +213,14 @@ def decode_step(params, cfg: Config, last_tokens, cache: KVCache,
     return logits, new_cache
 
 
-def verify_step(params, cfg: Config, tokens, cache: KVCache):
+def verify_step(params, cfg: Config, tokens, cache: KVCache,
+                pages_per_block=None):
     """Score T tokens in one pass against the paged cache: writes their
     K/V into the pages, runs the paged prefix-prefill kernel per layer
     (token t sees the cache prefix + tokens <= t), and returns logits at
     EVERY position (B, T, vocab) — the speculative-decoding verification
-    step (and chunked-prefill continuation)."""
+    step (and chunked-prefill continuation). pages_per_block as in
+    decode_step."""
     from tpukern.ops.paged_attention import paged_prefill_attention
     B, T = tokens.shape
     h = jnp.take(params["embed"], tokens, axis=0)
@@ -218,7 +232,8 @@ def verify_step(params, cfg: Config, tokens, cache: KVCache):
         q, k, v = _layer_qkv(hn, lp, cfg, positions)
         k_pages = _write_tokens(k_pages, li, k, cache.page_table, start)
         v_pages = _write_tokens(v_pages, li, v, cache.page_table, start)
-        ppb = _pages_per_block(cache.page_table.shape[1])
+        ppb = (pages_per_block if pages_per_block is not None
+               else _pages_per_block(cache.page_table.shape[1]))
         o = paged_prefill_attention(q, k_pages[li], v_pages[li],
                                     start + T, cache.page_table,
                                     pages_per_block=ppb)

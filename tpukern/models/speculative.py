@@ -13,6 +13,14 @@ equals the target's own greedy choice at that position, so the emitted
 stream is IDENTICAL to target-only greedy decoding — speculation changes
 latency, never output (the invariant the tests pin down).
 
+Sampled acceptance (speculative_sample_generate): the standard
+rejection-sampling scheme (Leviathan et al. 2022 / Chen et al. 2023) —
+accept d_i with prob min(1, p_i(d_i)/q_i(d_i)); on rejection sample the
+replacement from the residual norm(max(p_i - q_i, 0)); on full
+acceptance sample the bonus token from p_{g+1}. The marginal of every
+emitted token is exactly the target's sampling distribution (the
+invariant `rejection_accept`'s statistical test pins down).
+
 Cache discipline (both caches functional, lengths-only rollback):
 round invariant = both caches hold exactly the n emitted tokens, with
 one pending token `last` not yet in any cache.
@@ -118,6 +126,107 @@ def speculative_generate(target_params, target_cfg, draft_params,
         tc = rollback(tc, np.asarray([n + j + 1]))
         if j == g and g > 0:
             # full acceptance: draft never saw d_g — catch up
+            _, dc = _d_step(draft_params, draft_cfg,
+                            jnp.asarray([drafts[-1]], jnp.int32), dc)
+        dc = rollback(dc, np.asarray([n + j + 1]))
+        last = new_last
+
+    result = jnp.asarray([out[:n_steps]], jnp.int32)
+    return (result, stats) if return_stats else result
+
+
+def rejection_accept(drafts, q_probs, p_probs, rng):
+    """Pure rejection-sampling acceptance over one speculative round.
+
+    drafts: (g,) proposed token ids, d_i sampled from q_probs[i].
+    q_probs: (g, V) draft distributions; p_probs: (g+1, V) target
+    distributions at the same positions (p_probs[g] is the bonus
+    position after all g drafts). rng: np.random.Generator.
+
+    Returns (j, next_token): j = accepted draft count; next_token is the
+    residual sample at the first rejection, or a p_probs[g] sample on
+    full acceptance. Theorem (Leviathan et al.): each emitted token's
+    marginal is exactly its p_i — verified statistically in
+    tests/test_speculative.py."""
+    g = len(drafts)
+    for i in range(g):
+        d = int(drafts[i])
+        q = max(float(q_probs[i, d]), 1e-20)
+        if rng.random() < min(1.0, float(p_probs[i, d]) / q):
+            continue
+        resid = np.maximum(p_probs[i] - q_probs[i], 0.0)
+        z = resid.sum()
+        # z == 0 only via fp degeneracy (p <= q everywhere yet the
+        # accept draw lost); fall back to p itself — still target-exact
+        resid = resid / z if z > 0 else p_probs[i] / p_probs[i].sum()
+        return i, int(rng.choice(len(resid), p=resid))
+    p = p_probs[g] / p_probs[g].sum()
+    return g, int(rng.choice(len(p), p=p))
+
+
+def _temp_probs(logits, temperature):
+    """softmax(logits / T) as float64 numpy, renormalized exactly."""
+    x = np.asarray(logits, np.float64) / temperature
+    x -= x.max(-1, keepdims=True)
+    e = np.exp(x)
+    return e / e.sum(-1, keepdims=True)
+
+
+def speculative_sample_generate(target_params, target_cfg, draft_params,
+                                draft_cfg, prompt, n_steps, *, gamma=4,
+                                temperature=1.0, seed=0, pages_per_seq=8,
+                                page_size=128, return_stats=False):
+    """Sampling speculative decoding: n_steps tokens whose distribution
+    is EXACTLY target-only sampling at `temperature` (never the draft's).
+
+    Same cache discipline as speculative_generate; only the acceptance
+    rule differs (rejection_accept above). temperature must be > 0 —
+    use speculative_generate for greedy."""
+    assert temperature > 0, "use speculative_generate for greedy (T=0)"
+    B = prompt.shape[0]
+    assert B == 1, "speculative driver is per-sequence"
+    max_len = pages_per_seq * page_size
+    assert prompt.shape[1] + n_steps + gamma + 1 <= max_len, (
+        f"prompt ({prompt.shape[1]}) + n_steps ({n_steps}) + gamma+1 "
+        f"({gamma + 1}) must fit the page pool ({max_len})")
+    rng = np.random.default_rng(seed)
+    tc = init_cache(target_cfg, B, pages_per_seq, page_size)
+    dc = init_cache(draft_cfg, B, pages_per_seq, page_size)
+
+    t_logits, tc = prefill(target_params, target_cfg, prompt, tc)
+    p0 = _temp_probs(np.asarray(t_logits)[0], temperature)
+    last = int(rng.choice(len(p0), p=p0))
+
+    out = []
+    stats = SpecStats()
+    while len(out) < n_steps:
+        n = int(np.asarray(tc.lengths)[0])
+        g = min(gamma, n_steps - len(out))
+        drafts, q_rows = [], []
+        cur = last
+        for _ in range(g):
+            dl, dc = _d_step(draft_params, draft_cfg,
+                             jnp.asarray([cur], jnp.int32), dc)
+            q = _temp_probs(np.asarray(dl)[0], temperature)
+            cur = int(rng.choice(len(q), p=q))
+            drafts.append(cur)
+            q_rows.append(q)
+        cand = np.zeros((1, gamma + 1), np.int32)
+        cand[0, :g + 1] = [last] + drafts
+        vl, tc = _t_verify(target_params, target_cfg,
+                           jnp.asarray(cand), tc)
+        p_rows = _temp_probs(np.asarray(vl)[0, :g + 1], temperature)
+        j, new_last = rejection_accept(
+            np.asarray(drafts, np.int64),
+            np.asarray(q_rows) if g else np.zeros((0, p_rows.shape[-1])),
+            p_rows, rng)
+        out.append(last)
+        out.extend(drafts[:j])
+        stats.rounds += 1
+        stats.drafted += g
+        stats.accepted += j
+        tc = rollback(tc, np.asarray([n + j + 1]))
+        if j == g and g > 0:
             _, dc = _d_step(draft_params, draft_cfg,
                             jnp.asarray([drafts[-1]], jnp.int32), dc)
         dc = rollback(dc, np.asarray([n + j + 1]))
