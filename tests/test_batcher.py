@@ -170,3 +170,58 @@ def test_short_context_picks_small_ppb(setup):
     # only the short-context variant was ever compiled
     assert set(cb._decode_fns) == {1}
     assert cb.finished["a"] == ref
+
+
+def test_speculative_batcher_sampled_self_draft(setup):
+    """Sampled acceptance, draft == target: p/q = 1 at every position,
+    so every round fully accepts (gamma+1 tokens/slot/round)."""
+    from tpukern.models.batcher import SpeculativeBatcher
+
+    params, prompts = setup
+    sb = SpeculativeBatcher(params, CFG, params, CFG, n_slots=2,
+                            pages_per_seq=2, gamma=3, page_size=128,
+                            max_new_tokens=N_NEW, prompt_buckets=(64,),
+                            greedy=False, temperature=1.0)
+    sb.add_request(0, prompts[0])
+    sb.add_request(1, prompts[1])
+    steps = 0
+    while sb.active.any():
+        sb.step()
+        steps += 1
+    assert steps == 2          # ceil(6 / (gamma+1)): full acceptance
+    for i in (0, 1):
+        toks = sb.finished[i]
+        assert len(toks) == N_NEW
+        assert all(0 <= t < CFG.vocab for t in toks)
+
+
+def test_speculative_batcher_sampled_deterministic(setup):
+    from tpukern.models.batcher import SpeculativeBatcher
+
+    params, prompts = setup
+
+    def run():
+        sb = SpeculativeBatcher(params, CFG, params, CFG, n_slots=1,
+                                pages_per_seq=2, gamma=2, page_size=128,
+                                max_new_tokens=4, prompt_buckets=(64,),
+                                greedy=False, temperature=0.9,
+                                seed=5, accept_seed=5)
+        sb.run([("x", prompts[0])])
+        return sb.finished["x"]
+
+    assert run() == run()
+
+
+def test_speculative_batcher_sampled_low_temp_matches_greedy(setup):
+    """T -> 0 concentrates every distribution on its argmax: the sampled
+    acceptance must emit the greedy stream."""
+    from tpukern.models.batcher import SpeculativeBatcher
+
+    params, prompts = setup
+    ref = _reference_tokens(params, prompts[0])
+    sb = SpeculativeBatcher(params, CFG, params, CFG, n_slots=1,
+                            pages_per_seq=2, gamma=3, page_size=128,
+                            max_new_tokens=N_NEW, prompt_buckets=(64,),
+                            greedy=False, temperature=1e-4)
+    sb.run([("x", prompts[0])])
+    assert sb.finished["x"] == ref

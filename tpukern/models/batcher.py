@@ -22,6 +22,7 @@ import numpy as np
 from tpukern.models.serving import (KVCache, _pages_per_block, decode_step,
                                     init_cache, prefill, rollback,
                                     verify_step)
+from tpukern.models.speculative import _temp_probs, rejection_accept
 
 
 def _bucket(n, buckets):
@@ -43,7 +44,7 @@ class ContinuousBatcher:
 
     def __init__(self, params, cfg, n_slots, pages_per_seq, page_size=128,
                  eos_id=None, max_new_tokens=64, prompt_buckets=(64, 128),
-                 greedy=True, seed=0):
+                 greedy=True, temperature=1.0, seed=0):
         self.params = params
         self.cfg = cfg
         self.n_slots = n_slots
@@ -51,6 +52,8 @@ class ContinuousBatcher:
         self.max_new = max_new_tokens
         self.buckets = tuple(sorted(prompt_buckets))
         self.greedy = greedy
+        assert temperature > 0
+        self.temperature = temperature
         self.key = jax.random.key(seed)
 
         self.cache = init_cache(cfg, n_slots, pages_per_seq, page_size)
@@ -143,7 +146,9 @@ class ContinuousBatcher:
         if self.greedy:
             return np.asarray(jnp.argmax(logits, -1), np.int32)
         self.key, sub = jax.random.split(self.key)
-        return np.asarray(jax.random.categorical(sub, logits), np.int32)
+        return np.asarray(
+            jax.random.categorical(sub, logits / self.temperature),
+            np.int32)
 
     # -- decode ------------------------------------------------------------
 
@@ -205,6 +210,10 @@ class SpeculativeBatcher(ContinuousBatcher):
     decoding (same invariant as models/speculative.py, now across a
     whole slot pool with per-slot acceptance lengths).
 
+    greedy=False switches each slot's acceptance to rejection sampling
+    (models/speculative.py rejection_accept): the per-slot emitted
+    marginal is exactly target-only sampling at `temperature`.
+
     Cache discipline per round (both pools, per-slot lengths):
     n -> draft to n+gamma -> verify to n+gamma+1 -> accept j_b ->
     roll both back to n + j_b + 1 (full-accept slots first run one
@@ -212,14 +221,16 @@ class SpeculativeBatcher(ContinuousBatcher):
     """
 
     def __init__(self, params, cfg, draft_params, draft_cfg, n_slots,
-                 pages_per_seq, gamma=4, page_size=128, **kw):
-        assert kw.get("greedy", True), \
-            "speculative batching is greedy-only (exactness invariant)"
+                 pages_per_seq, gamma=4, page_size=128, accept_seed=0,
+                 **kw):
         super().__init__(params, cfg, n_slots, pages_per_seq,
                          page_size=page_size, **kw)
         self.draft_params = draft_params
         self.draft_cfg = draft_cfg
         self.gamma = gamma
+        # host rng driving draft sampling + accept/residual draws
+        # (greedy mode never touches it)
+        self._accept_rng = np.random.default_rng(accept_seed)
         self.dcache = init_cache(draft_cfg, n_slots, pages_per_seq,
                                  page_size)
         self._ddecode_fns = {}
@@ -268,13 +279,24 @@ class SpeculativeBatcher(ContinuousBatcher):
         # active slot; pick one page-DMA batch for the whole round
         ppb = self._pick_ppb(n_before[self.active].max() + g + 1)
 
-        # 1. batched drafting: gamma small-model decode steps
+        # 1. batched drafting: gamma small-model decode steps (sampled
+        # mode records each slot's draft distribution for the accept rule)
+        sampled = not self.greedy
         drafts = np.zeros((self.n_slots, g), np.int32)
+        q_all = np.zeros((self.n_slots, g, self.cfg.vocab)) if sampled \
+            else None
         cur = np.asarray(self.last_tok).copy()
         for i in range(g):
             dl, self.dcache = self._ddecode_fn(ppb)(
                 self.draft_params, jnp.asarray(cur), self.dcache, act)
-            cur = np.asarray(jnp.argmax(dl, -1), np.int32)
+            if sampled:
+                qs = _temp_probs(np.asarray(dl), self.temperature)
+                q_all[:, i] = qs
+                cur = np.array(
+                    [self._accept_rng.choice(qs.shape[-1], p=qs[s])
+                     for s in range(self.n_slots)], np.int32)
+            else:
+                cur = np.asarray(jnp.argmax(dl, -1), np.int32)
             drafts[:, i] = cur
 
         # 2. one batched target verification over g+1 candidates/slot
@@ -282,7 +304,8 @@ class SpeculativeBatcher(ContinuousBatcher):
             [np.asarray(self.last_tok)[:, None], drafts], axis=1)
         vl, self.cache = self._verify_fn(ppb)(self.params,
                                               jnp.asarray(cand), self.cache)
-        greedy = np.asarray(jnp.argmax(vl, -1))          # (B, g+1)
+        vl_np = np.asarray(vl)                           # (B, g+1, V)
+        greedy = np.argmax(vl_np, -1)                    # (B, g+1)
 
         # 3. per-slot acceptance, emission, EOS/budget bookkeeping
         new_len = n_before + g + 1  # verify advanced everyone; fix below
@@ -292,9 +315,15 @@ class SpeculativeBatcher(ContinuousBatcher):
             if not self.active[slot]:
                 new_len[slot] = n_before[slot]
                 continue
-            j = 0
-            while j < g and drafts[slot, j] == int(greedy[slot, j]):
-                j += 1
+            if sampled:
+                p_rows = _temp_probs(vl_np[slot, :g + 1], self.temperature)
+                j, nxt = rejection_accept(drafts[slot], q_all[slot],
+                                          p_rows, self._accept_rng)
+            else:
+                j = 0
+                while j < g and drafts[slot, j] == int(greedy[slot, j]):
+                    j += 1
+                nxt = int(greedy[slot, j])
             full_accept[slot] = j == g
             rid = self.slot_request[slot]
             tokens = [int(self.last_tok[slot])] + \
@@ -316,7 +345,7 @@ class SpeculativeBatcher(ContinuousBatcher):
                 self.slot_request[slot] = None
                 new_len[slot] = n_before[slot]  # freed; value is dead
             else:
-                self.last_tok[slot] = int(greedy[slot, j])
+                self.last_tok[slot] = nxt
                 new_len[slot] = n_before[slot] + j + 1
 
         # 4. target rollback to the accepted lengths
