@@ -225,3 +225,26 @@ def test_speculative_batcher_sampled_low_temp_matches_greedy(setup):
                             greedy=False, temperature=1e-4)
     sb.run([("x", prompts[0])])
     assert sb.finished["x"] == ref
+
+
+def test_dynamic_prefill_bucket(setup):
+    """Prompts longer than every configured bucket fall back to a
+    power-of-two bucket (capped by the pool) instead of raising."""
+    from tpukern.models.batcher import _bucket
+
+    assert _bucket(17, (64, 128)) == 64
+    assert _bucket(130, (64, 128), cap=1024) == 256   # fallback tier
+    assert _bucket(300, (64,), cap=1024) == 512
+    assert _bucket(600, (64,), cap=640) == 640        # pool-capped
+    with pytest.raises(ValueError):
+        _bucket(700, (64,), cap=640)
+
+    params, prompts = setup
+    rng = np.random.default_rng(3)
+    long_prompt = rng.integers(0, CFG.vocab, 70).astype(np.int32)
+    ref = _reference_tokens(params, long_prompt)
+    cb = ContinuousBatcher(params, CFG, n_slots=1, pages_per_seq=2,
+                           page_size=128, max_new_tokens=N_NEW,
+                           prompt_buckets=(64,))   # 70 > 64: dynamic tier
+    cb.run([("long", long_prompt)])
+    assert cb.finished["long"] == ref

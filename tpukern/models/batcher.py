@@ -25,12 +25,20 @@ from tpukern.models.serving import (KVCache, _pages_per_block, decode_step,
 from tpukern.models.speculative import _temp_probs, rejection_accept
 
 
-def _bucket(n, buckets):
+def _bucket(n, buckets, cap=None):
+    """Padded prefill length for an n-token prompt: the smallest
+    configured bucket that fits, else a power-of-two fallback (so
+    arbitrarily long prompts cost at most log2 extra compilations),
+    capped by the page pool."""
     for b in buckets:
         if n <= b:
             return b
-    raise ValueError(f"prompt length {n} exceeds largest bucket "
-                     f"{buckets[-1]}")
+    b = 1 << max(int(n) - 1, 0).bit_length()
+    if cap is not None:
+        b = min(b, int(cap))
+    if n <= b:
+        return b
+    raise ValueError(f"prompt length {n} exceeds the page pool ({cap})")
 
 
 class ContinuousBatcher:
@@ -127,7 +135,7 @@ class ContinuousBatcher:
         prompt_ids = np.asarray(prompt_ids, np.int32)
         true_len = len(prompt_ids)
         assert true_len + self.max_new <= self.max_len, "prompt too long"
-        bucket = _bucket(true_len, self.buckets)
+        bucket = _bucket(true_len, self.buckets, cap=self.max_len)
         padded = np.zeros(bucket, np.int32)
         padded[:true_len] = prompt_ids
 
@@ -259,7 +267,7 @@ class SpeculativeBatcher(ContinuousBatcher):
         slot = super().add_request(request_id, prompt_ids)
         # draft prefill into the same slot (its logits are unused: the
         # first draft proposal starts from the target-sampled last token)
-        bucket = _bucket(len(prompt_ids), self.buckets)
+        bucket = _bucket(len(prompt_ids), self.buckets, cap=self.max_len)
         padded = np.zeros(bucket, np.int32)
         padded[:len(prompt_ids)] = prompt_ids
         _, self.dcache = self._prefill_fn(bucket, self.draft_cfg)(
