@@ -177,3 +177,40 @@ def test_paged_prefix_prefill_matches_decode_at_t1(rng):
                              pages_per_block=2)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-4, atol=1e-4)
+
+
+def test_paged_decode_int8_kv_mxu(rng):
+    """s8s8s32 score path: q row-quantized at the boundary, the QK dot
+    runs entirely in int8 on the MXU; output within the int8-KV
+    tolerance plus q's ~0.4% row quantization error."""
+    from tpukern.ops.paged_attention import (paged_attention_quantized,
+                                             paged_attention_ref,
+                                             quantize_pages)
+    B, Hq, Hkv, D = 2, 4, 2, 64
+    page, P, pages_per_seq = 128, 16, 4
+    q = jnp.asarray(rng.standard_normal((B, Hq, D)), jnp.float32)
+    k_pages = jnp.asarray(rng.standard_normal((Hkv, P, page, D)),
+                          jnp.float32)
+    v_pages = jnp.asarray(rng.standard_normal((Hkv, P, page, D)),
+                          jnp.float32)
+    lengths = jnp.asarray([300, 450], jnp.int32)
+    table = jnp.asarray(
+        rng.permutation(P)[: B * pages_per_seq], jnp.int32
+    ).reshape(B, pages_per_seq)
+
+    kq, ks = quantize_pages(k_pages)
+    vq, vs = quantize_pages(v_pages)
+    out = paged_attention_quantized(
+        q.astype(jnp.bfloat16), kq, ks, vq, vs, lengths, table,
+        pages_per_block=2, q_int8=True)
+    ref = paged_attention_ref(q, k_pages, v_pages, lengths, table)
+    np.testing.assert_allclose(np.asarray(out, np.float64),
+                               np.asarray(ref, np.float64),
+                               rtol=6e-2, atol=6e-2)
+    # and it must stay close to the cast-dequant int8 path (same pages)
+    base = paged_attention_quantized(
+        q.astype(jnp.bfloat16), kq, ks, vq, vs, lengths, table,
+        pages_per_block=2)
+    np.testing.assert_allclose(np.asarray(out, np.float64),
+                               np.asarray(base, np.float64),
+                               rtol=3e-2, atol=3e-2)

@@ -36,8 +36,12 @@ NEG_BIG = -0.7 * 3.4e38
 
 def _decode_kernel(lengths_ref, tables_ref, *refs,
                    page_size, pages_per_block, mask_value,
-                   quantized=False, sm_D=None, window=None):
-    if quantized:
+                   quantized=False, q_int8=False, sm_D=None, window=None):
+    qs_ref = None
+    if quantized and q_int8:
+        (q_ref, k_hbm, v_hbm, ks_hbm, vs_hbm, qs_ref, o_ref, k_buf, v_buf,
+         ks_buf, vs_buf, m_s, l_s, acc_s, sems) = refs
+    elif quantized:
         (q_ref, k_hbm, v_hbm, ks_hbm, vs_hbm, o_ref, k_buf, v_buf,
          ks_buf, vs_buf, m_s, l_s, acc_s, sems) = refs
     else:
@@ -120,24 +124,34 @@ def _decode_kernel(lengths_ref, tables_ref, *refs,
             c.wait()
 
         q = q_ref[0, 0]                                   # (group, D)
-        if quantized:
-            # cast-only dequant: quantized values are exact in bf16 (int8
-            # magnitudes <= 127), so cast once and fold the per-token
-            # scale into the SCORE row afterwards — a (group, bk) lane
-            # multiply instead of a (bk, D) dequant pass
-            k = k_buf[slot].astype(q.dtype).reshape(bk, D)
-        else:
+        if quantized and q_int8:
+            # s8s8s32 MXU path: q was row-quantized at the XLA boundary,
+            # so the score dot runs entirely in int8 (no (bk, D) K cast
+            # at all); both scales fold into the f32 score row
             k = k_buf[slot].reshape(bk, D)
-        # all-f32 dots get true-f32 MXU passes (TPU DEFAULT runs f32
-        # through bf16 multiplies, ~1e-3 relative); HIGHEST on a bf16
-        # operand is REJECTED by Mosaic, so key on both dtypes
-        prec = (jax.lax.Precision.HIGHEST
-                if q.dtype == jnp.float32 and k.dtype == jnp.float32
-                else None)
-        s = jax.lax.dot_general(
-            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=prec)                               # (group, bk)
+            s32 = jax.lax.dot_general(
+                q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32)         # (group, bk)
+            s = s32.astype(jnp.float32) * qs_ref[0, 0][:, :1]
+        else:
+            if quantized:
+                # cast-only dequant: quantized values are exact in bf16
+                # (int8 magnitudes <= 127), so cast once and fold the
+                # per-token scale into the SCORE row afterwards — a
+                # (group, bk) lane multiply instead of a (bk, D) pass
+                k = k_buf[slot].astype(q.dtype).reshape(bk, D)
+            else:
+                k = k_buf[slot].reshape(bk, D)
+            # all-f32 dots get true-f32 MXU passes (TPU DEFAULT runs f32
+            # through bf16 multiplies, ~1e-3 relative); HIGHEST on a bf16
+            # operand is REJECTED by Mosaic, so key on both dtypes
+            prec = (jax.lax.Precision.HIGHEST
+                    if q.dtype == jnp.float32 and k.dtype == jnp.float32
+                    else None)
+            s = jax.lax.dot_general(
+                q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=prec)                           # (group, bk)
         if quantized:
             s = apply_row_scale(s, ks_buf[slot])
         s *= 1.0 / math.sqrt(sm_D if sm_D is not None else D)
@@ -156,7 +170,8 @@ def _decode_kernel(lengths_ref, tables_ref, *refs,
         m_s[:, :1] = m_next
         if quantized:
             # fold V's per-token scale into p's columns (tiny) and cast V
-            v = v_buf[slot].astype(q.dtype).reshape(bk, D)
+            # (o_ref.dtype, NOT q.dtype — q may be int8 on the MXU path)
+            v = v_buf[slot].astype(o_ref.dtype).reshape(bk, D)
             p = apply_row_scale(p, vs_buf[slot])
         else:
             v = v_buf[slot].reshape(bk, D)
@@ -279,7 +294,7 @@ def quantize_pages(pages, dtype="int8"):
 
 def paged_attention_quantized(q, k_pages, k_scales, v_pages, v_scales,
                               lengths, page_table, *, pages_per_block=4,
-                              interpret=None):
+                              q_int8=False, interpret=None):
     """Decode attention against a quantized paged KV cache: pages are
     1-byte values (int8 or float8_e4m3fn — half the DMA traffic of
     bf16), dequantized in VMEM with their per-token scales right after
@@ -288,6 +303,11 @@ def paged_attention_quantized(q, k_pages, k_scales, v_pages, v_scales,
     k_pages/v_pages: (Hkv, P, page, Dp) int8 or e4m3 with Dp = D rounded
     up to 128 (quantize_pages pads); k_scales/v_scales: (Hkv, P, page)
     f32. Other args as paged_attention.
+
+    q_int8=True (int8 pages only) additionally row-quantizes q so the
+    score matmul runs s8s8s32 on the MXU — no per-block (bk, D) K
+    dequant cast at all; q and K scales fold into the f32 score row.
+    Adds q's ~0.4% row quantization error on top of the KV tolerance.
     """
     from tpukern.core import round_up
     B, Hq, D = q.shape
@@ -298,10 +318,20 @@ def paged_attention_quantized(q, k_pages, k_scales, v_pages, v_scales,
     group = Hq // Hkv
     assert pages_per_seq % pages_per_block == 0
     n_blk = pages_per_seq // pages_per_block
+    if q_int8:
+        assert k_pages.dtype == jnp.int8, "q_int8 needs int8 K pages"
 
     q4 = q.reshape(B, Hkv, group, D)
     if Dp != D:
         q4 = jnp.pad(q4, ((0, 0), (0, 0), (0, 0), (0, Dp - D)))
+    if q_int8:
+        from tpukern.ops.quant import quantize_ref
+        qi8, qscale = quantize_ref(q4.reshape(B * Hkv * group, Dp))
+        q4 = qi8.reshape(B, Hkv, group, Dp)
+        # per-row q scale, broadcast over a 128-lane block (row 0 live)
+        qs4 = jnp.broadcast_to(
+            qscale.reshape(B, Hkv, group)[..., None].astype(jnp.float32),
+            (B, Hkv, group, 128))
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -313,7 +343,9 @@ def paged_attention_quantized(q, k_pages, k_scales, v_pages, v_scales,
             pl.BlockSpec(memory_space=pl.ANY),   # int8 V pages in HBM
             pl.BlockSpec(memory_space=pl.ANY),   # K scales in HBM
             pl.BlockSpec(memory_space=pl.ANY),   # V scales in HBM
-        ],
+        ] + ([pl.BlockSpec((1, 1, group, 128),
+                           lambda b, h, i, *_: (b, h, 0, 0),
+                           memory_space=pltpu.VMEM)] if q_int8 else []),
         out_specs=pl.BlockSpec((1, 1, group, Dp),
                                lambda b, h, i, *_: (b, h, 0, 0),
                                memory_space=pltpu.VMEM),
@@ -332,8 +364,14 @@ def paged_attention_quantized(q, k_pages, k_scales, v_pages, v_scales,
     kernel = functools.partial(
         _decode_kernel, page_size=page_size,
         pages_per_block=pages_per_block, mask_value=NEG_BIG,
-        quantized=True, sm_D=D)
+        quantized=True, q_int8=q_int8, sm_D=D)
 
+    args = [lengths.astype(jnp.int32),
+            page_table.reshape(-1).astype(jnp.int32),
+            q4, k_pages, v_pages, k_scales.astype(jnp.float32),
+            v_scales.astype(jnp.float32)]
+    if q_int8:
+        args.append(qs4)
     out = pl.pallas_call(
         kernel,
         out_shape=jax.ShapeDtypeStruct((B, Hkv, group, Dp), q.dtype),
@@ -341,9 +379,7 @@ def paged_attention_quantized(q, k_pages, k_scales, v_pages, v_scales,
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary")),
         interpret=use_interpret() if interpret is None else interpret,
-    )(lengths.astype(jnp.int32), page_table.reshape(-1).astype(jnp.int32),
-      q4, k_pages, v_pages, k_scales.astype(jnp.float32),
-      v_scales.astype(jnp.float32))
+    )(*args)
     return out[..., :D].reshape(B, Hq, D)
 
 
@@ -590,6 +626,9 @@ def _paged_quantized(q, k, v, lengths, table, dtype="int8", **kw):
 
 register("paged_attention", "paged_decode_int8kv",
          ref=paged_attention_ref)(_paged_quantized)
+register("paged_attention", "paged_decode_int8kv_mxu",
+         ref=paged_attention_ref)(
+    lambda *a, **kw: _paged_quantized(*a, q_int8=True, **kw))
 register("paged_attention", "paged_decode_fp8kv",
          ref=paged_attention_ref)(
     lambda *a, **kw: _paged_quantized(*a, dtype="fp8", **kw))
