@@ -214,3 +214,30 @@ def test_paged_decode_int8_kv_mxu(rng):
     np.testing.assert_allclose(np.asarray(out, np.float64),
                                np.asarray(base, np.float64),
                                rtol=3e-2, atol=3e-2)
+
+
+def test_paged_prefix_prefill_int8_kv(rng):
+    """int8-quantized pages in the multi-token prefix-prefill kernel,
+    cast-dequant and s8s8s32-MXU score paths — both within quantization
+    tolerance of the float reference."""
+    B, Hq, Hkv, D, T = 2, 4, 2, 64, 8
+    page_size, pages_per_seq, P = 128, 4, 16
+    q = jnp.asarray(rng.standard_normal((B, Hq, T, D)), jnp.float32)
+    k_pages = jnp.asarray(rng.standard_normal((Hkv, P, page_size, D)),
+                          jnp.float32)
+    v_pages = jnp.asarray(rng.standard_normal((Hkv, P, page_size, D)),
+                          jnp.float32)
+    lengths = jnp.asarray([300, 45], jnp.int32)
+    table = jnp.asarray(
+        rng.permutation(P)[: B * pages_per_seq].reshape(B, pages_per_seq),
+        jnp.int32)
+    kq, ks = pa.quantize_pages(k_pages)
+    vq, vs = pa.quantize_pages(v_pages)
+    ref = pa.paged_prefill_ref(q, k_pages, v_pages, lengths, table)
+    for q_int8, tol in ((False, 5e-2), (True, 6e-2)):
+        out = pa.paged_prefill_attention_quantized(
+            q.astype(jnp.bfloat16), kq, ks, vq, vs, lengths, table,
+            pages_per_block=2, q_int8=q_int8)
+        np.testing.assert_allclose(np.asarray(out, np.float64),
+                                   np.asarray(ref, np.float64),
+                                   rtol=tol, atol=tol)

@@ -384,12 +384,23 @@ def paged_attention_quantized(q, k_pages, k_scales, v_pages, v_scales,
 
 
 def _prefix_kernel(lengths_ref, tables_ref, *refs, page_size,
-                   pages_per_block, mask_value, n_tok, sm_D):
+                   pages_per_block, mask_value, n_tok, sm_D,
+                   quantized=False, q_int8=False):
     """Multi-token causal decode body: rows are (group, t) pairs flattened
     to group*n_tok; row (g, t) may see pages positions < lengths[b] - n_tok
-    + t + 1 (its own token was already written into the pages)."""
-    (q_ref, k_hbm, v_hbm, o_ref, k_buf, v_buf, m_s, l_s, acc_s,
-     sems) = refs
+    + t + 1 (its own token was already written into the pages).
+    quantized/q_int8 as in _decode_kernel (1-byte pages with per-token
+    scales; optional s8s8s32 score dot)."""
+    qs_ref = None
+    if quantized and q_int8:
+        (q_ref, k_hbm, v_hbm, ks_hbm, vs_hbm, qs_ref, o_ref, k_buf, v_buf,
+         ks_buf, vs_buf, m_s, l_s, acc_s, sems) = refs
+    elif quantized:
+        (q_ref, k_hbm, v_hbm, ks_hbm, vs_hbm, o_ref, k_buf, v_buf,
+         ks_buf, vs_buf, m_s, l_s, acc_s, sems) = refs
+    else:
+        (q_ref, k_hbm, v_hbm, o_ref, k_buf, v_buf, m_s, l_s, acc_s,
+         sems) = refs
     b = pl.program_id(0)
     h = pl.program_id(1)
     blk = pl.program_id(2)
@@ -413,7 +424,20 @@ def _prefix_kernel(lengths_ref, tables_ref, *refs, page_size,
                 k_hbm.at[h, page], k_buf.at[slot, p], sems.at[0, slot, p]))
             cps.append(pltpu.make_async_copy(
                 v_hbm.at[h, page], v_buf.at[slot, p], sems.at[1, slot, p]))
+            if quantized:
+                cps.append(pltpu.make_async_copy(
+                    ks_hbm.at[h, page], ks_buf.at[slot, p],
+                    sems.at[2, slot, p]))
+                cps.append(pltpu.make_async_copy(
+                    vs_hbm.at[h, page], vs_buf.at[slot, p],
+                    sems.at[3, slot, p]))
         return cps
+
+    def apply_row_scale(x, scales):
+        segs = [x[:, i * page_size:(i + 1) * page_size]
+                * scales[i][None, :]
+                for i in range(pages_per_block)]
+        return segs[0] if len(segs) == 1 else jnp.concatenate(segs, axis=1)
 
     # double-buffered page pipeline (see _decode_kernel)
     run = blk * bk < length
@@ -437,14 +461,27 @@ def _prefix_kernel(lengths_ref, tables_ref, *refs, page_size,
             c.wait()
 
         q = q_ref[0, 0]                                   # (rows, D)
-        k = k_buf[slot].reshape(bk, D)
-        prec = (jax.lax.Precision.HIGHEST
-                if q.dtype == jnp.float32 and k.dtype == jnp.float32
-                else None)
-        s = jax.lax.dot_general(
-            q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32,
-            precision=prec)                               # (rows, bk)
+        if quantized and q_int8:
+            # s8s8s32 score dot (see _decode_kernel)
+            k = k_buf[slot].reshape(bk, D)
+            s32 = jax.lax.dot_general(
+                q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.int32)         # (rows, bk)
+            s = s32.astype(jnp.float32) * qs_ref[0, 0][:, :1]
+        else:
+            if quantized:
+                k = k_buf[slot].astype(o_ref.dtype).reshape(bk, D)
+            else:
+                k = k_buf[slot].reshape(bk, D)
+            prec = (jax.lax.Precision.HIGHEST
+                    if q.dtype == jnp.float32 and k.dtype == jnp.float32
+                    else None)
+            s = jax.lax.dot_general(
+                q, k, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32,
+                precision=prec)                           # (rows, bk)
+        if quantized:
+            s = apply_row_scale(s, ks_buf[slot])
         s *= 1.0 / math.sqrt(sm_D)
         pos = blk * bk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         # row r is query token t = r % n_tok; it sees positions
@@ -460,7 +497,11 @@ def _prefix_kernel(lengths_ref, tables_ref, *refs, page_size,
         p = jnp.exp(s - m_next)
         l_s[:, :1] = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
         m_s[:, :1] = m_next
-        v = v_buf[slot].reshape(bk, D)
+        if quantized:
+            v = v_buf[slot].astype(o_ref.dtype).reshape(bk, D)
+            p = apply_row_scale(p, vs_buf[slot])
+        else:
+            v = v_buf[slot].reshape(bk, D)
         acc_s[...] = (acc_s[...] * alpha
                       + jax.lax.dot_general(
                           p.astype(v.dtype), v,
@@ -555,6 +596,92 @@ def paged_prefill_attention(q, k_pages, v_pages, lengths, page_table,
     return out.reshape(B, Hkv, group, T, D).reshape(B, Hq, T, D)
 
 
+def paged_prefill_attention_quantized(q, k_pages, k_scales, v_pages,
+                                      v_scales, lengths, page_table, *,
+                                      pages_per_block=4, q_int8=False,
+                                      interpret=None):
+    """Multi-token causal attention against a QUANTIZED paged KV cache
+    (1-byte pages + per-token scales, as paged_attention_quantized) —
+    the verification/chunked-prefill step of an int8/fp8-KV serving
+    stack. q_int8=True additionally runs the score dot s8s8s32 on the
+    MXU (int8 pages only). Args as paged_prefill_attention plus the
+    scale pools."""
+    from tpukern.core import round_up
+    B, Hq, T, D = q.shape
+    Hkv, P, page_size, Dp = k_pages.shape
+    assert Dp == round_up(D, 128), (D, Dp)
+    pages_per_seq = page_table.shape[1]
+    assert Hq % Hkv == 0
+    group = Hq // Hkv
+    assert pages_per_seq % pages_per_block == 0
+    n_blk = pages_per_seq // pages_per_block
+    if q_int8:
+        assert k_pages.dtype == jnp.int8, "q_int8 needs int8 K pages"
+
+    q4 = q.reshape(B, Hkv, group, T, D).reshape(B, Hkv, group * T, D)
+    if Dp != D:
+        q4 = jnp.pad(q4, ((0, 0), (0, 0), (0, 0), (0, Dp - D)))
+    if q_int8:
+        from tpukern.ops.quant import quantize_ref
+        qi8, qscale = quantize_ref(q4.reshape(B * Hkv * group * T, Dp))
+        q4 = qi8.reshape(B, Hkv, group * T, Dp)
+        qs4 = jnp.broadcast_to(
+            qscale.reshape(B, Hkv, group * T)[..., None].astype(
+                jnp.float32),
+            (B, Hkv, group * T, 128))
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=2,
+        grid=(B, Hkv, n_blk),
+        in_specs=[
+            pl.BlockSpec((1, 1, group * T, Dp),
+                         lambda b, h, i, *_: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),   # K scales in HBM
+            pl.BlockSpec(memory_space=pl.ANY),   # V scales in HBM
+        ] + ([pl.BlockSpec((1, 1, group * T, 128),
+                           lambda b, h, i, *_: (b, h, 0, 0),
+                           memory_space=pltpu.VMEM)] if q_int8 else []),
+        out_specs=pl.BlockSpec((1, 1, group * T, Dp),
+                               lambda b, h, i, *_: (b, h, 0, 0),
+                               memory_space=pltpu.VMEM),
+        scratch_shapes=[
+            pltpu.VMEM((2, pages_per_block, page_size, Dp), k_pages.dtype),
+            pltpu.VMEM((2, pages_per_block, page_size, Dp), v_pages.dtype),
+            pltpu.VMEM((2, pages_per_block, page_size), jnp.float32),
+            pltpu.VMEM((2, pages_per_block, page_size), jnp.float32),
+            pltpu.VMEM((group * T, 128), jnp.float32),
+            pltpu.VMEM((group * T, 128), jnp.float32),
+            pltpu.VMEM((group * T, Dp), jnp.float32),
+            pltpu.SemaphoreType.DMA((4, 2, pages_per_block)),
+        ],
+    )
+
+    kernel = functools.partial(
+        _prefix_kernel, page_size=page_size,
+        pages_per_block=pages_per_block, mask_value=NEG_BIG,
+        n_tok=T, sm_D=D, quantized=True, q_int8=q_int8)
+
+    args = [lengths.astype(jnp.int32),
+            page_table.reshape(-1).astype(jnp.int32),
+            q4, k_pages, v_pages, k_scales.astype(jnp.float32),
+            v_scales.astype(jnp.float32)]
+    if q_int8:
+        args.append(qs4)
+    out = pl.pallas_call(
+        kernel,
+        out_shape=jax.ShapeDtypeStruct((B, Hkv, group * T, Dp), q.dtype),
+        grid_spec=grid_spec,
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("arbitrary", "arbitrary", "arbitrary")),
+        interpret=use_interpret() if interpret is None else interpret,
+    )(*args)
+    out = out[..., :D]
+    return out.reshape(B, Hkv, group, T, D).reshape(B, Hq, T, D)
+
+
 def paged_prefill_ref(q, k_pages, v_pages, lengths, page_table):
     """XLA gather reference for paged_prefill_attention."""
     B, Hq, T, D = q.shape
@@ -582,6 +709,20 @@ def paged_prefill_ref(q, k_pages, v_pages, lengths, page_table):
 
 register("paged_attention", "paged_prefix_prefill", ref=paged_prefill_ref)(
     lambda *a, **kw: paged_prefill_attention(*a, **kw))
+
+
+def _paged_prefill_quantized(q, k, v, lengths, table, dtype="int8", **kw):
+    kq, ks = quantize_pages(k, dtype)
+    vq, vs = quantize_pages(v, dtype)
+    return paged_prefill_attention_quantized(
+        q.astype(jnp.bfloat16), kq, ks, vq, vs, lengths, table, **kw)
+
+
+register("paged_attention", "paged_prefix_prefill_int8kv",
+         ref=paged_prefill_ref)(_paged_prefill_quantized)
+register("paged_attention", "paged_prefix_prefill_int8kv_mxu",
+         ref=paged_prefill_ref)(
+    lambda *a, **kw: _paged_prefill_quantized(*a, q_int8=True, **kw))
 
 
 def paged_attention_ref(q, k_pages, v_pages, lengths, page_table):
