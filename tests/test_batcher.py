@@ -248,3 +248,23 @@ def test_dynamic_prefill_bucket(setup):
                            prompt_buckets=(64,))   # 70 > 64: dynamic tier
     cb.run([("long", long_prompt)])
     assert cb.finished["long"] == ref
+
+
+def test_int8_cache_batcher(setup):
+    """Continuous batching over the int8 KV tier: deterministic,
+    slot-isolated, coherent streams (first tokens match the bf16 tier)."""
+    params, prompts = setup
+    cb16 = ContinuousBatcher(params, CFG, n_slots=2, pages_per_seq=2,
+                             page_size=128, max_new_tokens=4,
+                             prompt_buckets=(64,))
+    f16 = cb16.run([(i, p) for i, p in enumerate(prompts[:2])])
+    cb8 = ContinuousBatcher(params, CFG, n_slots=2, pages_per_seq=2,
+                            page_size=128, max_new_tokens=4,
+                            prompt_buckets=(64,), cache_dtype=jnp.int8)
+    f8 = cb8.run([(i, p) for i, p in enumerate(prompts[:2])])
+    assert set(f8) == set(f16)
+    for i in f16:
+        # first token comes straight from the (unquantized) prefill
+        # logits; later tokens may diverge within quantization tolerance
+        assert f8[i][0] == f16[i][0]
+        assert len(f8[i]) == len(f16[i])

@@ -52,7 +52,8 @@ class ContinuousBatcher:
 
     def __init__(self, params, cfg, n_slots, pages_per_seq, page_size=128,
                  eos_id=None, max_new_tokens=64, prompt_buckets=(64, 128),
-                 greedy=True, temperature=1.0, seed=0):
+                 greedy=True, temperature=1.0, seed=0,
+                 cache_dtype=jnp.bfloat16):
         self.params = params
         self.cfg = cfg
         self.n_slots = n_slots
@@ -64,7 +65,10 @@ class ContinuousBatcher:
         self.temperature = temperature
         self.key = jax.random.key(seed)
 
-        self.cache = init_cache(cfg, n_slots, pages_per_seq, page_size)
+        # cache_dtype=jnp.int8 serves from the quantized KV tier (2x
+        # context per HBM byte; faster decode via the s8s8s32 MXU path)
+        self.cache = init_cache(cfg, n_slots, pages_per_seq, page_size,
+                                dtype=cache_dtype)
         self.page_size = page_size
         self.pages_per_seq = pages_per_seq
         self.max_len = pages_per_seq * page_size
@@ -116,12 +120,14 @@ class ContinuousBatcher:
             view = KVCache(
                 cache.k_pages, cache.v_pages,
                 jax.lax.dynamic_slice_in_dim(cache.page_table, slot, 1),
-                jnp.zeros((1,), jnp.int32))
+                jnp.zeros((1,), jnp.int32),
+                cache.k_scales, cache.v_scales)
             logits, view = prefill(params, cfg, tokens, view,
                                    last_index=true_len[None] - 1)
             lengths = cache.lengths.at[slot].set(true_len)
             return logits[0], KVCache(view.k_pages, view.v_pages,
-                                      cache.page_table, lengths)
+                                      cache.page_table, lengths,
+                                      view.k_scales, view.v_scales)
 
         self._prefill[key] = jax.jit(fn)
         return self._prefill[key]
@@ -239,8 +245,10 @@ class SpeculativeBatcher(ContinuousBatcher):
         # host rng driving draft sampling + accept/residual draws
         # (greedy mode never touches it)
         self._accept_rng = np.random.default_rng(accept_seed)
+        # draft cache shares the target's KV tier (bf16 or int8)
         self.dcache = init_cache(draft_cfg, n_slots, pages_per_seq,
-                                 page_size)
+                                 page_size,
+                                 dtype=self.cache.k_pages.dtype)
         self._ddecode_fns = {}
         self._verify_fns = {}
 

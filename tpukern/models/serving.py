@@ -32,17 +32,30 @@ class KVCache:
     v_pages: Any      # (L, Hkv, P, page, D)
     page_table: Any   # (B, pages_per_seq) int32 physical page ids
     lengths: Any      # (B,) int32 live tokens per sequence
+    # int8 tier: per-token dequant scales (L, Hkv, P, page) f32, None
+    # for float pools (2x context per HBM byte AND faster decode — the
+    # s8s8s32 MXU score path; see BENCH_NOTES)
+    k_scales: Any = None
+    v_scales: Any = None
 
     @property
     def page_size(self):
         return self.k_pages.shape[3]
+
+    @property
+    def quantized(self):
+        return self.k_scales is not None
 
 
 def init_cache(cfg: Config, batch, pages_per_seq, page_size=128,
                dtype=jnp.bfloat16):
     """Fixed page pool; sequence b owns physical pages
     [b*pages_per_seq, (b+1)*pages_per_seq) — the identity mapping a real
-    allocator would replace (the kernel only sees the table)."""
+    allocator would replace (the kernel only sees the table).
+
+    dtype=jnp.int8 allocates the quantized tier: 1-byte pools plus
+    per-token scale pools; the serving steps then write tokens row-
+    quantized and attend with the quantized paged kernels."""
     from tpukern.core import round_up
     Hkv, D = cfg.n_kv_heads, cfg.head_dim
     P = batch * pages_per_seq
@@ -51,11 +64,14 @@ def init_cache(cfg: Config, batch, pages_per_seq, page_size=128,
     # kernels; _write_tokens writes D columns at offset 0)
     shape = (cfg.n_layers, Hkv, P, page_size, round_up(D, 128))
     table = jnp.arange(P, dtype=jnp.int32).reshape(batch, pages_per_seq)
+    quant = jnp.dtype(dtype) == jnp.int8
     return KVCache(
         k_pages=jnp.zeros(shape, dtype),
         v_pages=jnp.zeros(shape, dtype),
         page_table=table,
         lengths=jnp.zeros((batch,), jnp.int32),
+        k_scales=jnp.zeros(shape[:4], jnp.float32) if quant else None,
+        v_scales=jnp.zeros(shape[:4], jnp.float32) if quant else None,
     )
 
 
@@ -107,6 +123,55 @@ def _write_tokens(pages, layer, new, table, start):
     return pages
 
 
+def _write_tokens_quantized(pages, scales, layer, new, table, start):
+    """Row-quantize new (B, Hkv, T, D) tokens to int8 and scatter values
+    + per-token scales into the quantized pool (the int8-KV write path;
+    same indexing discipline as _write_tokens)."""
+    from tpukern.ops.quant import quantize_ref
+    B, Hkv, T, D = new.shape
+    vals, s = quantize_ref(new.reshape(B * Hkv * T, D).astype(jnp.float32))
+    vals = vals.reshape(B, Hkv, T, D)
+    s = s.reshape(B, Hkv, T).astype(jnp.float32)
+    page_size = pages.shape[3]
+    pages_per_seq = table.shape[1]
+    max_pos = pages_per_seq * page_size - 1
+
+    def per_seq(carry, new_b, s_b, table_b, start_b):
+        def per_tok(carry, t):
+            pages, scales = carry
+            pos = jnp.minimum(start_b + t, max_pos)
+            phys = table_b[pos // page_size]
+            pages = jax.lax.dynamic_update_slice(
+                pages, new_b[:, t][None, :, None, None, :],
+                (layer, 0, phys, pos % page_size, 0))
+            scales = jax.lax.dynamic_update_slice(
+                scales, s_b[:, t][None, :, None, None],
+                (layer, 0, phys, pos % page_size))
+            return (pages, scales), None
+        carry, _ = jax.lax.scan(per_tok, carry, jnp.arange(T))
+        return carry
+
+    carry = (pages, scales)
+    for b in range(B):
+        carry = per_seq(carry, vals[b], s[b], table[b], start[b])
+    return carry
+
+
+def _write_kv(cache, k_pages, v_pages, k_scales, v_scales, layer, k, v,
+              start):
+    """Write one layer's new K/V tokens via the cache's tier (float
+    passthrough or int8 row-quantized)."""
+    if cache.quantized:
+        k_pages, k_scales = _write_tokens_quantized(
+            k_pages, k_scales, layer, k, cache.page_table, start)
+        v_pages, v_scales = _write_tokens_quantized(
+            v_pages, v_scales, layer, v, cache.page_table, start)
+    else:
+        k_pages = _write_tokens(k_pages, layer, k, cache.page_table, start)
+        v_pages = _write_tokens(v_pages, layer, v, cache.page_table, start)
+    return k_pages, v_pages, k_scales, v_scales
+
+
 def _rope_at(x_rows, pos_rows, max_pos):
     """RoPE at arbitrary positions: gather the cached cos/sin tables at
     pos_rows and run the library's cached-table kernel."""
@@ -153,6 +218,7 @@ def prefill(params, cfg: Config, tokens, cache: KVCache, last_index=None):
     start = cache.lengths
     positions = start[:, None] + jnp.arange(T)[None, :]
     k_pages, v_pages = cache.k_pages, cache.v_pages
+    k_scales, v_scales = cache.k_scales, cache.v_scales
     for li, lp in enumerate(params["layers"]):
         hn = rms_norm(h.reshape(B * T, -1), lp["ln1"]).reshape(h.shape)
         q, k, v = _layer_qkv(hn, lp, cfg, positions)
@@ -161,8 +227,8 @@ def prefill(params, cfg: Config, tokens, cache: KVCache, last_index=None):
         h = h + o.reshape(B, T, -1)
         hn = rms_norm(h.reshape(B * T, -1), lp["ln2"]).reshape(h.shape)
         h = h + _mlp(hn.reshape(B * T, -1), lp).reshape(h.shape)
-        k_pages = _write_tokens(k_pages, li, k, cache.page_table, start)
-        v_pages = _write_tokens(v_pages, li, v, cache.page_table, start)
+        k_pages, v_pages, k_scales, v_scales = _write_kv(
+            cache, k_pages, v_pages, k_scales, v_scales, li, k, v, start)
     if last_index is None:
         h_last = h[:, -1]
     else:
@@ -172,7 +238,7 @@ def prefill(params, cfg: Config, tokens, cache: KVCache, last_index=None):
     logits = (hn @ params["head"]).astype(jnp.float32)
     n_new = T if last_index is None else last_index + 1
     new_cache = KVCache(k_pages, v_pages, cache.page_table,
-                        cache.lengths + n_new)
+                        cache.lengths + n_new, k_scales, v_scales)
     return logits, new_cache
 
 
@@ -186,22 +252,31 @@ def decode_step(params, cfg: Config, last_tokens, cache: KVCache,
     overwritten by the next real token before the length covers it).
     pages_per_block (static) overrides the DMA batch pick — serving
     drivers pass a length-aware value (_pages_per_block hint)."""
+    from tpukern.ops.paged_attention import paged_attention_quantized
     B = last_tokens.shape[0]
     h = jnp.take(params["embed"], last_tokens, axis=0)[:, None, :]  # (B,1,d)
     positions = cache.lengths[:, None]  # (B, 1)
     k_pages, v_pages = cache.k_pages, cache.v_pages
+    k_scales, v_scales = cache.k_scales, cache.v_scales
     for li, lp in enumerate(params["layers"]):
         hn = rms_norm(h.reshape(B, -1), lp["ln1"]).reshape(h.shape)
         q, k, v = _layer_qkv(hn, lp, cfg, positions)
-        k_pages = _write_tokens(k_pages, li, k, cache.page_table,
-                                cache.lengths)
-        v_pages = _write_tokens(v_pages, li, v, cache.page_table,
-                                cache.lengths)
+        k_pages, v_pages, k_scales, v_scales = _write_kv(
+            cache, k_pages, v_pages, k_scales, v_scales, li, k, v,
+            cache.lengths)
         ppb = (pages_per_block if pages_per_block is not None
                else _pages_per_block(cache.page_table.shape[1]))
-        o = paged_attention(q[:, :, 0], k_pages[li], v_pages[li],
-                            cache.lengths + 1, cache.page_table,
-                            pages_per_block=ppb)
+        if cache.quantized:
+            # s8s8s32 MXU score path: measured faster than bf16 pages
+            # at the decode shape (BENCH_NOTES)
+            o = paged_attention_quantized(
+                q[:, :, 0], k_pages[li], k_scales[li], v_pages[li],
+                v_scales[li], cache.lengths + 1, cache.page_table,
+                pages_per_block=ppb, q_int8=True)
+        else:
+            o = paged_attention(q[:, :, 0], k_pages[li], v_pages[li],
+                                cache.lengths + 1, cache.page_table,
+                                pages_per_block=ppb)
         h = h + (o.reshape(B, -1) @ lp["wo"]).reshape(h.shape)
         hn = rms_norm(h.reshape(B, -1), lp["ln2"]).reshape(h.shape)
         h = h + _mlp(hn.reshape(B, -1), lp).reshape(h.shape)
@@ -209,7 +284,7 @@ def decode_step(params, cfg: Config, last_tokens, cache: KVCache,
     logits = (hn @ params["head"]).astype(jnp.float32)
     adv = 1 if active is None else active.astype(jnp.int32)
     new_cache = KVCache(k_pages, v_pages, cache.page_table,
-                        cache.lengths + adv)
+                        cache.lengths + adv, k_scales, v_scales)
     return logits, new_cache
 
 
@@ -221,22 +296,30 @@ def verify_step(params, cfg: Config, tokens, cache: KVCache,
     EVERY position (B, T, vocab) — the speculative-decoding verification
     step (and chunked-prefill continuation). pages_per_block as in
     decode_step."""
-    from tpukern.ops.paged_attention import paged_prefill_attention
+    from tpukern.ops.paged_attention import (
+        paged_prefill_attention, paged_prefill_attention_quantized)
     B, T = tokens.shape
     h = jnp.take(params["embed"], tokens, axis=0)
     start = cache.lengths
     positions = start[:, None] + jnp.arange(T)[None, :]
     k_pages, v_pages = cache.k_pages, cache.v_pages
+    k_scales, v_scales = cache.k_scales, cache.v_scales
     for li, lp in enumerate(params["layers"]):
         hn = rms_norm(h.reshape(B * T, -1), lp["ln1"]).reshape(h.shape)
         q, k, v = _layer_qkv(hn, lp, cfg, positions)
-        k_pages = _write_tokens(k_pages, li, k, cache.page_table, start)
-        v_pages = _write_tokens(v_pages, li, v, cache.page_table, start)
+        k_pages, v_pages, k_scales, v_scales = _write_kv(
+            cache, k_pages, v_pages, k_scales, v_scales, li, k, v, start)
         ppb = (pages_per_block if pages_per_block is not None
                else _pages_per_block(cache.page_table.shape[1]))
-        o = paged_prefill_attention(q, k_pages[li], v_pages[li],
-                                    start + T, cache.page_table,
-                                    pages_per_block=ppb)
+        if cache.quantized:
+            o = paged_prefill_attention_quantized(
+                q, k_pages[li], k_scales[li], v_pages[li], v_scales[li],
+                start + T, cache.page_table, pages_per_block=ppb,
+                q_int8=True)
+        else:
+            o = paged_prefill_attention(q, k_pages[li], v_pages[li],
+                                        start + T, cache.page_table,
+                                        pages_per_block=ppb)
         o = o.transpose(0, 2, 1, 3).reshape(B * T, -1) @ lp["wo"]
         h = h + o.reshape(B, T, -1)
         hn = rms_norm(h.reshape(B * T, -1), lp["ln2"]).reshape(h.shape)
@@ -244,7 +327,7 @@ def verify_step(params, cfg: Config, tokens, cache: KVCache,
     hn = rms_norm(h.reshape(B * T, -1), params["lnf"])
     logits = (hn @ params["head"]).astype(jnp.float32).reshape(B, T, -1)
     new_cache = KVCache(k_pages, v_pages, cache.page_table,
-                        cache.lengths + T)
+                        cache.lengths + T, k_scales, v_scales)
     return logits, new_cache
 
 
@@ -253,15 +336,18 @@ def rollback(cache: KVCache, new_lengths):
     (they're overwritten before ever being read — the kernels mask
     pos >= length)."""
     return KVCache(cache.k_pages, cache.v_pages, cache.page_table,
-                   jnp.asarray(new_lengths, jnp.int32))
+                   jnp.asarray(new_lengths, jnp.int32),
+                   cache.k_scales, cache.v_scales)
 
 
 def generate(params, cfg: Config, prompt, n_steps, pages_per_seq=8,
-             page_size=128, greedy=True, key=None):
+             page_size=128, greedy=True, key=None,
+             cache_dtype=jnp.bfloat16):
     """Prefill the prompt then decode n_steps tokens (greedy or sampled).
-    Returns (B, n_steps) generated token ids."""
+    Returns (B, n_steps) generated token ids. cache_dtype=jnp.int8
+    serves from the quantized KV tier."""
     B, T = prompt.shape
-    cache = init_cache(cfg, B, pages_per_seq, page_size)
+    cache = init_cache(cfg, B, pages_per_seq, page_size, dtype=cache_dtype)
     logits, cache = prefill(params, cfg, prompt, cache)
     outs = []
     tok = jnp.argmax(logits, -1).astype(jnp.int32)
