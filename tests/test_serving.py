@@ -157,3 +157,71 @@ def test_int8_cache_verify_and_rollback(setup):
     cache3 = serving.rollback(cache2, np.asarray([n + 1]))
     assert cache3.quantized
     assert int(np.asarray(cache3.lengths)[0]) == n + 1
+
+
+def test_tp_serving_matches_single_device(setup):
+    """Tensor-parallel serving (shard_map over a 2-device "tp" mesh):
+    prefill + decode + verify logits match the single-device steps, and
+    the sharded cache round-trips through all three."""
+    from jax.sharding import Mesh
+
+    params, prompts = setup
+    prompt = jnp.asarray(prompts[0][None])
+    B, T = prompt.shape
+    mesh = Mesh(np.array(jax.devices()[:2]), ("tp",))
+    pf, df, vf = serving.make_tp_serving(CFG, mesh)
+
+    # single-device reference chain
+    c0 = serving.init_cache(CFG, B, 2, 128)
+    l0, c0 = serving.prefill(params, CFG, prompt, c0)
+    t0 = jnp.argmax(l0, -1).astype(jnp.int32)
+    d0, c0 = serving.decode_step(params, CFG, t0, c0,
+                                 active=jnp.ones((B,), bool))
+    v0, c0 = serving.verify_step(params, CFG,
+                                 jnp.asarray([[3, 5]], jnp.int32), c0)
+
+    # tp chain
+    c1 = serving.init_cache(CFG, B, 2, 128)
+    l1, c1 = pf(params, prompt, c1,
+                jnp.full((B,), T - 1, jnp.int32))
+    t1 = jnp.argmax(l1, -1).astype(jnp.int32)
+    d1, c1 = df(params, t1, c1, jnp.ones((B,), bool))
+    v1, c1 = vf(params, jnp.asarray([[3, 5]], jnp.int32), c1)
+
+    scale = max(1.0, float(jnp.abs(l0).max()))
+    np.testing.assert_allclose(np.asarray(l1) / scale,
+                               np.asarray(l0) / scale, atol=2e-2)
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t0))
+    np.testing.assert_allclose(np.asarray(d1) / scale,
+                               np.asarray(d0) / scale, atol=2e-2)
+    np.testing.assert_allclose(np.asarray(v1) / scale,
+                               np.asarray(v0) / scale, atol=2e-2)
+    np.testing.assert_array_equal(np.asarray(c1.lengths),
+                                  np.asarray(c0.lengths))
+
+
+def test_tp_serving_int8_tier(setup):
+    """TP serving over the QUANTIZED cache tier (sharded scale pools)."""
+    from jax.sharding import Mesh
+
+    params, prompts = setup
+    prompt = jnp.asarray(prompts[0][None])
+    B, T = prompt.shape
+    mesh = Mesh(np.array(jax.devices()[:2]), ("tp",))
+    pf, df, _ = serving.make_tp_serving(CFG, mesh, quantized=True)
+
+    c0 = serving.init_cache(CFG, B, 2, 128, dtype=jnp.int8)
+    l0, c0 = serving.prefill(params, CFG, prompt, c0)
+    t0 = jnp.argmax(l0, -1).astype(jnp.int32)
+    d0, _ = serving.decode_step(params, CFG, t0, c0,
+                                active=jnp.ones((B,), bool))
+
+    c1 = serving.init_cache(CFG, B, 2, 128, dtype=jnp.int8)
+    l1, c1 = pf(params, prompt, c1, jnp.full((B,), T - 1, jnp.int32))
+    t1 = jnp.argmax(l1, -1).astype(jnp.int32)
+    d1, _ = df(params, t1, c1, jnp.ones((B,), bool))
+
+    np.testing.assert_array_equal(np.asarray(t1), np.asarray(t0))
+    scale = max(1.0, float(jnp.abs(d0).max()))
+    np.testing.assert_allclose(np.asarray(d1) / scale,
+                               np.asarray(d0) / scale, atol=3e-2)

@@ -206,7 +206,8 @@ def _mlp(h, lp):
     return (jax.nn.gelu(h @ lp["w1"]) @ lp["w2"])
 
 
-def prefill(params, cfg: Config, tokens, cache: KVCache, last_index=None):
+def prefill(params, cfg: Config, tokens, cache: KVCache, last_index=None,
+            tp_axis=None):
     """Process a full prompt (B, T): causal FA-2 over the prompt, write
     K/V into the cache pages, return next-token logits (B, vocab).
 
@@ -224,9 +225,14 @@ def prefill(params, cfg: Config, tokens, cache: KVCache, last_index=None):
         q, k, v = _layer_qkv(hn, lp, cfg, positions)
         o = flash_attention(q, k, v, causal=True)
         o = o.transpose(0, 2, 1, 3).reshape(B * T, -1) @ lp["wo"]
+        if tp_axis is not None:  # wo is row-split: sum the partials
+            o = jax.lax.psum(o, tp_axis)
         h = h + o.reshape(B, T, -1)
         hn = rms_norm(h.reshape(B * T, -1), lp["ln2"]).reshape(h.shape)
-        h = h + _mlp(hn.reshape(B * T, -1), lp).reshape(h.shape)
+        mlp = _mlp(hn.reshape(B * T, -1), lp)
+        if tp_axis is not None:  # w2 is row-split
+            mlp = jax.lax.psum(mlp, tp_axis)
+        h = h + mlp.reshape(h.shape)
         k_pages, v_pages, k_scales, v_scales = _write_kv(
             cache, k_pages, v_pages, k_scales, v_scales, li, k, v, start)
     if last_index is None:
@@ -243,7 +249,7 @@ def prefill(params, cfg: Config, tokens, cache: KVCache, last_index=None):
 
 
 def decode_step(params, cfg: Config, last_tokens, cache: KVCache,
-                active=None, pages_per_block=None):
+                active=None, pages_per_block=None, tp_axis=None):
     """One continuous-batching decode step: last_tokens (B,) -> logits
     (B, vocab). Attention runs the paged-decode Pallas kernel against the
     page pool (ops/paged_attention.py). active (B,) bool masks which
@@ -277,9 +283,15 @@ def decode_step(params, cfg: Config, last_tokens, cache: KVCache,
             o = paged_attention(q[:, :, 0], k_pages[li], v_pages[li],
                                 cache.lengths + 1, cache.page_table,
                                 pages_per_block=ppb)
-        h = h + (o.reshape(B, -1) @ lp["wo"]).reshape(h.shape)
+        o = o.reshape(B, -1) @ lp["wo"]
+        if tp_axis is not None:
+            o = jax.lax.psum(o, tp_axis)
+        h = h + o.reshape(h.shape)
         hn = rms_norm(h.reshape(B, -1), lp["ln2"]).reshape(h.shape)
-        h = h + _mlp(hn.reshape(B, -1), lp).reshape(h.shape)
+        mlp = _mlp(hn.reshape(B, -1), lp)
+        if tp_axis is not None:
+            mlp = jax.lax.psum(mlp, tp_axis)
+        h = h + mlp.reshape(h.shape)
     hn = rms_norm(h[:, 0], params["lnf"])
     logits = (hn @ params["head"]).astype(jnp.float32)
     adv = 1 if active is None else active.astype(jnp.int32)
@@ -289,7 +301,7 @@ def decode_step(params, cfg: Config, last_tokens, cache: KVCache,
 
 
 def verify_step(params, cfg: Config, tokens, cache: KVCache,
-                pages_per_block=None):
+                pages_per_block=None, tp_axis=None):
     """Score T tokens in one pass against the paged cache: writes their
     K/V into the pages, runs the paged prefix-prefill kernel per layer
     (token t sees the cache prefix + tokens <= t), and returns logits at
@@ -321,9 +333,14 @@ def verify_step(params, cfg: Config, tokens, cache: KVCache,
                                         start + T, cache.page_table,
                                         pages_per_block=ppb)
         o = o.transpose(0, 2, 1, 3).reshape(B * T, -1) @ lp["wo"]
+        if tp_axis is not None:
+            o = jax.lax.psum(o, tp_axis)
         h = h + o.reshape(B, T, -1)
         hn = rms_norm(h.reshape(B * T, -1), lp["ln2"]).reshape(h.shape)
-        h = h + _mlp(hn.reshape(B * T, -1), lp).reshape(h.shape)
+        mlp = _mlp(hn.reshape(B * T, -1), lp)
+        if tp_axis is not None:
+            mlp = jax.lax.psum(mlp, tp_axis)
+        h = h + mlp.reshape(h.shape)
     hn = rms_norm(h.reshape(B * T, -1), params["lnf"])
     logits = (hn @ params["head"]).astype(jnp.float32).reshape(B, T, -1)
     new_cache = KVCache(k_pages, v_pages, cache.page_table,
@@ -360,3 +377,69 @@ def generate(params, cfg: Config, prompt, n_steps, pages_per_seq=8,
             key, sub = jax.random.split(key)
             tok = jax.random.categorical(sub, logits).astype(jnp.int32)
     return jnp.stack(outs, axis=1)
+
+
+def make_tp_serving(cfg: Config, mesh, quantized=False,
+                    pages_per_block=None):
+    """Tensor-parallel serving: shard_mapped (prefill, decode, verify)
+    over the mesh's "tp" axis.
+
+    Megatron-style layout (same specs the training step uses,
+    transformer.param_specs): wq/wk/wv/w1 column-split and wo/w2
+    row-split over "tp"; KV page pools (and int8 scale pools) shard over
+    the kv-head axis; embeddings/norms/head replicated. Each device runs
+    the paged kernels on its local head slice; the only collectives are
+    the two psums per layer after the row-split products — decode's ICI
+    traffic is 2*L*B*d_model values per step.
+
+    Returns (prefill_fn, decode_fn, verify_fn), jitted:
+      prefill_fn(params, tokens, cache, last_index) -> (logits, cache)
+      decode_fn(params, last_tokens, cache, active) -> (logits, cache)
+      verify_fn(params, tokens, cache)              -> (logits, cache)
+    params must be device_put with param_specs-matching shardings (or
+    replicated — shard_map reshards). tp must divide n_heads AND
+    n_kv_heads. quantized=True builds for the int8 cache tier."""
+    from jax import shard_map
+    from jax.sharding import PartitionSpec as P
+
+    from tpukern.models.transformer import param_specs
+
+    tp = mesh.shape["tp"]
+    assert cfg.n_heads % tp == 0 and cfg.n_kv_heads % tp == 0, \
+        (cfg.n_heads, cfg.n_kv_heads, tp)
+    # local view: each device owns n_heads/tp q heads, n_kv_heads/tp kv
+    # heads, SAME head_dim. head_dim is the derived d_model//n_heads, so
+    # rescale d_model to keep it fixed — the steps read the true hidden
+    # width from the (replicated) activations, never from cfg.d_model
+    lcfg = dataclasses.replace(
+        cfg, n_heads=cfg.n_heads // tp, n_kv_heads=cfg.n_kv_heads // tp,
+        d_model=cfg.head_dim * (cfg.n_heads // tp))
+    p_specs = param_specs(cfg)
+    sc = P(None, "tp") if quantized else None
+    cache_spec = KVCache(P(None, "tp"), P(None, "tp"), P(), P(), sc, sc)
+
+    def _prefill(params, tokens, cache, last_index):
+        return prefill(params, lcfg, tokens, cache,
+                       last_index=last_index, tp_axis="tp")
+
+    def _decode(params, toks, cache, active):
+        return decode_step(params, lcfg, toks, cache, active=active,
+                           pages_per_block=pages_per_block, tp_axis="tp")
+
+    def _verify(params, tokens, cache):
+        return verify_step(params, lcfg, tokens, cache,
+                           pages_per_block=pages_per_block, tp_axis="tp")
+
+    prefill_fn = jax.jit(shard_map(
+        _prefill, mesh=mesh,
+        in_specs=(p_specs, P(), cache_spec, P()),
+        out_specs=(P(), cache_spec), check_vma=False))
+    decode_fn = jax.jit(shard_map(
+        _decode, mesh=mesh,
+        in_specs=(p_specs, P(), cache_spec, P()),
+        out_specs=(P(), cache_spec), check_vma=False))
+    verify_fn = jax.jit(shard_map(
+        _verify, mesh=mesh,
+        in_specs=(p_specs, P(), cache_spec),
+        out_specs=(P(), cache_spec), check_vma=False))
+    return prefill_fn, decode_fn, verify_fn
