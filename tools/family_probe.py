@@ -88,10 +88,15 @@ def probe_paged():
     run_benchmark(jax.jit(lambda q: paged_attention_quantized(
         q, kq, ks, vq, vs, lengths, table)), q,
         tag="paged_decode_int8kv", bytes_moved=nbytes // 2, iters=10)
-    out = paged_attention_quantized(q, kq, ks, vq, vs, lengths, table)
+    run_benchmark(jax.jit(lambda q: paged_attention_quantized(
+        q, kq, ks, vq, vs, lengths, table, q_int8=True)), q,
+        tag="paged_decode_int8kv_mxu", bytes_moved=nbytes // 2, iters=10)
     ref = paged_attention_ref(q, k_pages, v_pages, lengths, table)
-    print(f"int8-KV max |diff| vs float reference: "
-          f"{float(jnp.max(jnp.abs(out.astype(jnp.float32) - ref.astype(jnp.float32)))):.2e}")
+    for qi in (False, True):
+        out = paged_attention_quantized(q, kq, ks, vq, vs, lengths, table,
+                                        q_int8=qi)
+        print(f"int8-KV (q_int8={qi}) max |diff| vs float reference: "
+              f"{float(jnp.max(jnp.abs(out.astype(jnp.float32) - ref.astype(jnp.float32)))):.2e}")
 
 
 if __name__ == "__main__":
