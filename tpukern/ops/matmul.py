@@ -388,7 +388,13 @@ def auto_blocks(M, N, K, peak_flops=197e12, hbm_bw=819e9,
     every (block_m, block_n, block_k) candidate by
     max(padded FLOPs / peak, HBM bytes / bw) + grid-step overhead under
     the VMEM budget and keeps the cheapest. Granularity: block_m is only
-    a sublane dim (16); block_n/block_k are lane dims (128)."""
+    a sublane dim (16); block_n/block_k are lane dims (128).
+
+    Exact tilings (zero padding in every dim) get a 1.5 MB budget bonus:
+    at 3328 (=26*128) the exact (832,1664,256) config needs 10.9 MB and
+    measured 144.9 TFLOPS vs 129.4 for the best under-10MB padded pick
+    (88% vs 80% of XLA) — still well below the ~13 MB Mosaic
+    scoped-vmem failure zone."""
     def sizes(d, gran, cap):
         out = []
         for n in range(1, min(-(-d // gran), 24) + 1):
@@ -404,10 +410,11 @@ def auto_blocks(M, N, K, peak_flops=197e12, hbm_bw=819e9,
                 # scratch-accumulator bf16-out budget (the general case):
                 # f32 acc + bf16 out + double-buffered bf16 A/B tiles
                 vmem = bm * bn * 6 + 4 * bm * bk + 4 * bk * bn
-                if vmem > vmem_budget:
-                    continue
                 nI, nJ, nK = cdiv(M, bm), cdiv(N, bn), cdiv(K, bk)
                 Mp, Np, Kp = nI * bm, nJ * bn, nK * bk
+                exact = (Mp, Np, Kp) == (M, N, K)
+                if vmem > vmem_budget + (1_572_864 if exact else 0):
+                    continue
                 t_mxu = 2 * Mp * Np * Kp / peak_flops
                 bytes_ = 2 * (nJ * Mp * Kp + nI * Kp * Np) + 2 * Mp * Np
                 # 1.25x: DMA never overlaps perfectly near the roofline
