@@ -268,3 +268,28 @@ def test_int8_cache_batcher(setup):
         # logits; later tokens may diverge within quantization tolerance
         assert f8[i][0] == f16[i][0]
         assert len(f8[i]) == len(f16[i])
+
+
+def test_int8_cache_speculative_batcher(setup):
+    """Speculative batching over the int8 KV tier runs end to end: both
+    pools quantized, per-slot rollback preserves scales, streams are
+    deterministic and complete. (Exact greedy equality with the bf16
+    tier is NOT asserted — quantization legitimately perturbs logits.)"""
+    from tpukern.models.batcher import SpeculativeBatcher
+
+    params, prompts = setup
+
+    def run():
+        sb = SpeculativeBatcher(params, CFG, params, CFG, n_slots=2,
+                                pages_per_seq=2, gamma=2, page_size=128,
+                                max_new_tokens=4, prompt_buckets=(64,),
+                                cache_dtype=jnp.int8)
+        assert sb.cache.quantized and sb.dcache.quantized
+        return sb.run([(i, p) for i, p in enumerate(prompts[:2])])
+
+    a, b = run(), run()
+    assert set(a) == {0, 1}
+    for i in a:
+        assert len(a[i]) == 4
+        assert a[i] == b[i]
+        assert all(0 <= t < CFG.vocab for t in a[i])
