@@ -293,3 +293,32 @@ def test_int8_cache_speculative_batcher(setup):
         assert len(a[i]) == 4
         assert a[i] == b[i]
         assert all(0 <= t < CFG.vocab for t in a[i])
+
+
+def test_tp_batcher_matches_single_device(setup):
+    """Tensor-parallel continuous batching: same greedy streams as the
+    single-device batcher over a 2-device "tp" mesh, both KV tiers."""
+    from jax.sharding import Mesh
+
+    from tpukern.models.batcher import TPContinuousBatcher
+
+    params, prompts = setup
+    mesh = Mesh(np.array(jax.devices()[:2]), ("tp",))
+    ref = ContinuousBatcher(params, CFG, n_slots=2, pages_per_seq=2,
+                            page_size=128, max_new_tokens=4,
+                            prompt_buckets=(64,))
+    f0 = ref.run([(i, p) for i, p in enumerate(prompts)])
+    tpb = TPContinuousBatcher(params, CFG, n_slots=2, pages_per_seq=2,
+                              mesh=mesh, page_size=128, max_new_tokens=4,
+                              prompt_buckets=(64,))
+    f1 = tpb.run([(i, p) for i, p in enumerate(prompts)])
+    assert f1 == f0
+
+    tpb8 = TPContinuousBatcher(params, CFG, n_slots=2, pages_per_seq=2,
+                               mesh=mesh, page_size=128, max_new_tokens=4,
+                               prompt_buckets=(64,),
+                               cache_dtype=jnp.int8)
+    f2 = tpb8.run([(i, p) for i, p in enumerate(prompts)])
+    assert set(f2) == set(f0)
+    for i in f0:  # int8 tier: first token from unquantized prefill
+        assert f2[i][0] == f0[i][0] and len(f2[i]) == len(f0[i])

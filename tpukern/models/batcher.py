@@ -377,3 +377,76 @@ class SpeculativeBatcher(ContinuousBatcher):
         self.dcache = rollback(self.dcache, new_len)
         self.host_len[:] = new_len
         return n_emitted
+
+
+class TPContinuousBatcher(ContinuousBatcher):
+    """Continuous batching with tensor-parallel serving steps.
+
+    Same scheduler as ContinuousBatcher; the jitted prefill/decode
+    steps are shard_mapped over the mesh's "tp" axis with the
+    make_tp_serving layout (Megatron param splits, kv-head-sharded page
+    pools). The cache starts replicated and settles into its sharded
+    layout after the first step (out_specs drive placement)."""
+
+    def __init__(self, params, cfg, n_slots, pages_per_seq, mesh,
+                 page_size=128, **kw):
+        from tpukern.models.serving import tp_local_cfg
+
+        self.mesh = mesh
+        self._lcfg = tp_local_cfg(cfg, mesh.shape["tp"])
+        super().__init__(params, cfg, n_slots, pages_per_seq,
+                         page_size=page_size, **kw)
+
+    def _decode_fn(self, ppb):
+        if ppb not in self._decode_fns:
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            from tpukern.models.serving import tp_cache_spec
+            from tpukern.models.transformer import param_specs
+
+            lcfg = self._lcfg
+            cache_spec = tp_cache_spec(self.cache.quantized)
+
+            def fn(p, toks, cache, act):
+                return decode_step(p, lcfg, toks, cache, active=act,
+                                   pages_per_block=ppb, tp_axis="tp")
+
+            self._decode_fns[ppb] = jax.jit(shard_map(
+                fn, mesh=self.mesh,
+                in_specs=(param_specs(self.cfg), P(), cache_spec, P()),
+                out_specs=(P(), cache_spec), check_vma=False))
+        return self._decode_fns[ppb]
+
+    def _prefill_fn(self, bucket, cfg=None):
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from tpukern.models.serving import tp_cache_spec
+        from tpukern.models.transformer import param_specs
+
+        assert cfg is None, "TP batching is non-speculative"
+        if bucket in self._prefill:
+            return self._prefill[bucket]
+        lcfg = self._lcfg
+        cache_spec = tp_cache_spec(self.cache.quantized)
+
+        def fn(params, tokens, true_len, cache, slot):
+            view = KVCache(
+                cache.k_pages, cache.v_pages,
+                jax.lax.dynamic_slice_in_dim(cache.page_table, slot, 1),
+                jnp.zeros((1,), jnp.int32),
+                cache.k_scales, cache.v_scales)
+            logits, view = prefill(params, lcfg, tokens, view,
+                                   last_index=true_len[None] - 1,
+                                   tp_axis="tp")
+            lengths = cache.lengths.at[slot].set(true_len)
+            return logits[0], KVCache(view.k_pages, view.v_pages,
+                                      cache.page_table, lengths,
+                                      view.k_scales, view.v_scales)
+
+        self._prefill[bucket] = jax.jit(shard_map(
+            fn, mesh=self.mesh,
+            in_specs=(param_specs(self.cfg), P(), P(), cache_spec, P()),
+            out_specs=(P(), cache_spec), check_vma=False))
+        return self._prefill[bucket]

@@ -379,6 +379,26 @@ def generate(params, cfg: Config, prompt, n_steps, pages_per_seq=8,
     return jnp.stack(outs, axis=1)
 
 
+def tp_local_cfg(cfg: Config, tp):
+    """Per-device view of cfg under tp-way head sharding: each device
+    owns n_heads/tp q heads and n_kv_heads/tp kv heads with the SAME
+    head_dim. head_dim is the derived d_model//n_heads, so d_model is
+    rescaled to keep it fixed — the serving steps read the true hidden
+    width from the (replicated) activations, never from cfg.d_model."""
+    assert cfg.n_heads % tp == 0 and cfg.n_kv_heads % tp == 0, \
+        (cfg.n_heads, cfg.n_kv_heads, tp)
+    return dataclasses.replace(
+        cfg, n_heads=cfg.n_heads // tp, n_kv_heads=cfg.n_kv_heads // tp,
+        d_model=cfg.head_dim * (cfg.n_heads // tp))
+
+
+def tp_cache_spec(quantized):
+    """PartitionSpec pytree for a KVCache sharded over kv heads."""
+    from jax.sharding import PartitionSpec as P
+    sc = P(None, "tp") if quantized else None
+    return KVCache(P(None, "tp"), P(None, "tp"), P(), P(), sc, sc)
+
+
 def make_tp_serving(cfg: Config, mesh, quantized=False,
                     pages_per_block=None):
     """Tensor-parallel serving: shard_mapped (prefill, decode, verify)
@@ -405,18 +425,9 @@ def make_tp_serving(cfg: Config, mesh, quantized=False,
     from tpukern.models.transformer import param_specs
 
     tp = mesh.shape["tp"]
-    assert cfg.n_heads % tp == 0 and cfg.n_kv_heads % tp == 0, \
-        (cfg.n_heads, cfg.n_kv_heads, tp)
-    # local view: each device owns n_heads/tp q heads, n_kv_heads/tp kv
-    # heads, SAME head_dim. head_dim is the derived d_model//n_heads, so
-    # rescale d_model to keep it fixed — the steps read the true hidden
-    # width from the (replicated) activations, never from cfg.d_model
-    lcfg = dataclasses.replace(
-        cfg, n_heads=cfg.n_heads // tp, n_kv_heads=cfg.n_kv_heads // tp,
-        d_model=cfg.head_dim * (cfg.n_heads // tp))
+    lcfg = tp_local_cfg(cfg, tp)
     p_specs = param_specs(cfg)
-    sc = P(None, "tp") if quantized else None
-    cache_spec = KVCache(P(None, "tp"), P(None, "tp"), P(), P(), sc, sc)
+    cache_spec = tp_cache_spec(quantized)
 
     def _prefill(params, tokens, cache, last_index):
         return prefill(params, lcfg, tokens, cache,
