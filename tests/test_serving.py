@@ -225,3 +225,24 @@ def test_tp_serving_int8_tier(setup):
     scale = max(1.0, float(jnp.abs(d0).max()))
     np.testing.assert_allclose(np.asarray(d1) / scale,
                                np.asarray(d0) / scale, atol=3e-2)
+
+
+def test_fp8_cache_tier(setup):
+    """fp8-e4m3 KV pool tier: write path quantizes to fp8 with per-token
+    scales; decode logits stay within the (coarser) fp8 tolerance."""
+    params, prompts = setup
+    prompt = jnp.asarray(prompts[0][None])
+    ref = None
+    for dt in (jnp.bfloat16, jnp.float8_e4m3fn):
+        cache = serving.init_cache(CFG, 1, 2, 128, dtype=dt)
+        assert cache.quantized == (dt == jnp.float8_e4m3fn)
+        logits, cache = serving.prefill(params, CFG, prompt, cache)
+        tok = jnp.argmax(logits, -1).astype(jnp.int32)
+        logits2, _ = serving.decode_step(params, CFG, tok, cache)
+        if ref is None:
+            ref = np.asarray(logits2, np.float64)
+        else:
+            out = np.asarray(logits2, np.float64)
+            denom = max(1.0, float(np.abs(ref).max()))
+            assert np.abs(ref - out).max() / denom < 0.25, \
+                np.abs(ref - out).max()

@@ -32,9 +32,10 @@ class KVCache:
     v_pages: Any      # (L, Hkv, P, page, D)
     page_table: Any   # (B, pages_per_seq) int32 physical page ids
     lengths: Any      # (B,) int32 live tokens per sequence
-    # int8 tier: per-token dequant scales (L, Hkv, P, page) f32, None
-    # for float pools (2x context per HBM byte AND faster decode — the
-    # s8s8s32 MXU score path; see BENCH_NOTES)
+    # quantized tier (int8 or fp8-e4m3 pools): per-token dequant scales
+    # (L, Hkv, P, page) f32, None for float pools (2x context per HBM
+    # byte; int8 also decodes faster via the s8s8s32 MXU score path —
+    # see BENCH_NOTES)
     k_scales: Any = None
     v_scales: Any = None
 
@@ -53,9 +54,12 @@ def init_cache(cfg: Config, batch, pages_per_seq, page_size=128,
     [b*pages_per_seq, (b+1)*pages_per_seq) — the identity mapping a real
     allocator would replace (the kernel only sees the table).
 
-    dtype=jnp.int8 allocates the quantized tier: 1-byte pools plus
-    per-token scale pools; the serving steps then write tokens row-
-    quantized and attend with the quantized paged kernels."""
+    dtype=jnp.int8 (or jnp.float8_e4m3fn) allocates the quantized tier:
+    1-byte pools plus per-token scale pools; the serving steps then
+    write tokens row-quantized and attend with the quantized paged
+    kernels. int8 additionally gets the s8s8s32 MXU score path; fp8 is
+    a storage-only tier on v5e (casts are software-expanded,
+    BENCH_NOTES) aimed at hardware with native fp8 ALUs."""
     from tpukern.core import round_up
     Hkv, D = cfg.n_kv_heads, cfg.head_dim
     P = batch * pages_per_seq
@@ -64,7 +68,8 @@ def init_cache(cfg: Config, batch, pages_per_seq, page_size=128,
     # kernels; _write_tokens writes D columns at offset 0)
     shape = (cfg.n_layers, Hkv, P, page_size, round_up(D, 128))
     table = jnp.arange(P, dtype=jnp.int32).reshape(batch, pages_per_seq)
-    quant = jnp.dtype(dtype) == jnp.int8
+    quant = jnp.dtype(dtype) in (jnp.dtype(jnp.int8),
+                                 jnp.dtype(jnp.float8_e4m3fn))
     return KVCache(
         k_pages=jnp.zeros(shape, dtype),
         v_pages=jnp.zeros(shape, dtype),
@@ -124,12 +129,13 @@ def _write_tokens(pages, layer, new, table, start):
 
 
 def _write_tokens_quantized(pages, scales, layer, new, table, start):
-    """Row-quantize new (B, Hkv, T, D) tokens to int8 and scatter values
-    + per-token scales into the quantized pool (the int8-KV write path;
-    same indexing discipline as _write_tokens)."""
-    from tpukern.ops.quant import quantize_ref
+    """Row-quantize new (B, Hkv, T, D) tokens to the pool's 1-byte dtype
+    (int8 or fp8-e4m3) and scatter values + per-token scales into the
+    quantized pool (same indexing discipline as _write_tokens)."""
+    from tpukern.ops.quant import quantize_fp8_ref, quantize_ref
     B, Hkv, T, D = new.shape
-    vals, s = quantize_ref(new.reshape(B * Hkv * T, D).astype(jnp.float32))
+    qfn = (quantize_ref if pages.dtype == jnp.int8 else quantize_fp8_ref)
+    vals, s = qfn(new.reshape(B * Hkv * T, D).astype(jnp.float32))
     vals = vals.reshape(B, Hkv, T, D)
     s = s.reshape(B, Hkv, T).astype(jnp.float32)
     page_size = pages.shape[3]
@@ -278,7 +284,8 @@ def decode_step(params, cfg: Config, last_tokens, cache: KVCache,
             o = paged_attention_quantized(
                 q[:, :, 0], k_pages[li], k_scales[li], v_pages[li],
                 v_scales[li], cache.lengths + 1, cache.page_table,
-                pages_per_block=ppb, q_int8=True)
+                pages_per_block=ppb,
+                q_int8=k_pages.dtype == jnp.int8)
         else:
             o = paged_attention(q[:, :, 0], k_pages[li], v_pages[li],
                                 cache.lengths + 1, cache.page_table,
@@ -327,7 +334,7 @@ def verify_step(params, cfg: Config, tokens, cache: KVCache,
             o = paged_prefill_attention_quantized(
                 q, k_pages[li], k_scales[li], v_pages[li], v_scales[li],
                 start + T, cache.page_table, pages_per_block=ppb,
-                q_int8=True)
+                q_int8=k_pages.dtype == jnp.int8)
         else:
             o = paged_prefill_attention(q, k_pages[li], v_pages[li],
                                         start + T, cache.page_table,
