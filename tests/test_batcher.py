@@ -322,3 +322,28 @@ def test_tp_batcher_matches_single_device(setup):
     assert set(f2) == set(f0)
     for i in f0:  # int8 tier: first token from unquantized prefill
         assert f2[i][0] == f0[i][0] and len(f2[i]) == len(f0[i])
+
+
+def test_chunked_prefill_admission(setup):
+    """Chunked admission (C-token pieces through the prefix-prefill
+    kernel) emits exactly the same greedy streams as whole-prompt
+    prefill — including a prompt whose length isn't a chunk multiple."""
+    params, prompts = setup
+    ref = ContinuousBatcher(params, CFG, n_slots=2, pages_per_seq=2,
+                            page_size=128, max_new_tokens=4,
+                            prompt_buckets=(64,))
+    f0 = ref.run([(i, p) for i, p in enumerate(prompts)])
+    cb = ContinuousBatcher(params, CFG, n_slots=2, pages_per_seq=2,
+                           page_size=128, max_new_tokens=4,
+                           prompt_buckets=(64,), chunked_prefill=8)
+    f1 = cb.run([(i, p) for i, p in enumerate(prompts)])
+    assert f1 == f0
+    # and over the int8 tier (quantized writes ride the same view path)
+    cb8 = ContinuousBatcher(params, CFG, n_slots=2, pages_per_seq=2,
+                            page_size=128, max_new_tokens=4,
+                            prompt_buckets=(64,), chunked_prefill=8,
+                            cache_dtype=jnp.int8)
+    f2 = cb8.run([(i, p) for i, p in enumerate(prompts)])
+    assert set(f2) == set(f0)
+    for i in f0:
+        assert len(f2[i]) == len(f0[i])

@@ -53,7 +53,7 @@ class ContinuousBatcher:
     def __init__(self, params, cfg, n_slots, pages_per_seq, page_size=128,
                  eos_id=None, max_new_tokens=64, prompt_buckets=(64, 128),
                  greedy=True, temperature=1.0, seed=0,
-                 cache_dtype=jnp.bfloat16):
+                 cache_dtype=jnp.bfloat16, chunked_prefill=None):
         self.params = params
         self.cfg = cfg
         self.n_slots = n_slots
@@ -82,8 +82,14 @@ class ContinuousBatcher:
         self.outputs = {}      # request_id -> [tokens so far]
         self.finished = {}     # request_id -> [tokens]
 
+        # chunked_prefill = chunk length C: prompts longer than C admit
+        # in C-token chunks through the prefix-prefill kernel, bounding
+        # admission activation memory by O(C) instead of O(prompt)
+        self.chunk = chunked_prefill
+        assert chunked_prefill is None or chunked_prefill >= 1
         self._decode_fns = {}  # pages_per_block -> jitted decode step
         self._prefill = {}     # bucket -> jitted single-slot prefill
+        self._chunk_fn = None  # jitted single-slot chunk continuation
 
     def _decode_fn(self, ppb):
         """Jitted batched decode with a static pages_per_block (at most
@@ -132,6 +138,52 @@ class ContinuousBatcher:
         self._prefill[key] = jax.jit(fn)
         return self._prefill[key]
 
+    def _chunked_admit_fn(self):
+        """Jitted one-chunk admission step on a single-slot view: writes
+        the chunk's K/V through verify_step (token t sees the written
+        prefix + chunk tokens <= t — the chunked-prefill contract),
+        advances the slot length by the chunk's TRUE token count (padded
+        tail positions stay dead), and returns the last true token's
+        logits."""
+        if self._chunk_fn is not None:
+            return self._chunk_fn
+        cfg = self.cfg
+
+        def fn(params, tokens, true_n, cache, slot, start):
+            view = KVCache(
+                cache.k_pages, cache.v_pages,
+                jax.lax.dynamic_slice_in_dim(cache.page_table, slot, 1),
+                start[None],
+                cache.k_scales, cache.v_scales)
+            logits, view = verify_step(params, cfg, tokens, view)
+            lengths = cache.lengths.at[slot].set(start + true_n)
+            new_cache = KVCache(view.k_pages, view.v_pages,
+                                cache.page_table, lengths,
+                                view.k_scales, view.v_scales)
+            return logits[0, true_n - 1], new_cache
+
+        self._chunk_fn = jax.jit(fn)
+        return self._chunk_fn
+
+    def _admit_chunked(self, prompt_ids, slot):
+        """Stream the prompt into the slot in fixed-size chunks; returns
+        the next-token logits after the last true token."""
+        C = self.chunk
+        fn = self._chunked_admit_fn()
+        start = 0
+        logits = None
+        for off in range(0, len(prompt_ids), C):
+            piece = prompt_ids[off:off + C]
+            true_n = len(piece)
+            padded = np.zeros(C, np.int32)
+            padded[:true_n] = piece
+            logits, self.cache = fn(
+                self.params, jnp.asarray(padded[None]),
+                jnp.int32(true_n), self.cache, jnp.int32(slot),
+                jnp.int32(start))
+            start += true_n
+        return logits
+
     def add_request(self, request_id, prompt_ids):
         """Admit a prompt into a free slot (raises if none free)."""
         slots = self.free_slots()
@@ -141,6 +193,15 @@ class ContinuousBatcher:
         prompt_ids = np.asarray(prompt_ids, np.int32)
         true_len = len(prompt_ids)
         assert true_len + self.max_new <= self.max_len, "prompt too long"
+        if self.chunk is not None and true_len > self.chunk:
+            logits = self._admit_chunked(prompt_ids, slot)
+            self.active[slot] = True
+            self.n_generated[slot] = 0
+            self.host_len[slot] = true_len
+            self.slot_request[slot] = request_id
+            self.outputs[request_id] = []
+            self.last_tok[slot] = int(self._sample(logits[None])[0])
+            return slot
         bucket = _bucket(true_len, self.buckets, cap=self.max_len)
         padded = np.zeros(bucket, np.int32)
         padded[:true_len] = prompt_ids
