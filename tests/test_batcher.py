@@ -323,6 +323,13 @@ def test_tp_batcher_matches_single_device(setup):
     for i in f0:  # int8 tier: first token from unquantized prefill
         assert f2[i][0] == f0[i][0] and len(f2[i]) == len(f0[i])
 
+    # chunked admission under tp (shard_mapped chunk continuation)
+    tpc = TPContinuousBatcher(params, CFG, n_slots=2, pages_per_seq=2,
+                              mesh=mesh, page_size=128, max_new_tokens=4,
+                              prompt_buckets=(64,), chunked_prefill=8)
+    f3 = tpc.run([(i, p) for i, p in enumerate(prompts)])
+    assert f3 == f0
+
 
 def test_chunked_prefill_admission(setup):
     """Chunked admission (C-token pieces through the prefix-prefill

@@ -511,3 +511,36 @@ class TPContinuousBatcher(ContinuousBatcher):
             in_specs=(param_specs(self.cfg), P(), P(), cache_spec, P()),
             out_specs=(P(), cache_spec), check_vma=False))
         return self._prefill[bucket]
+
+    def _chunked_admit_fn(self):
+        if self._chunk_fn is not None:
+            return self._chunk_fn
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from tpukern.models.serving import tp_cache_spec
+        from tpukern.models.transformer import param_specs
+
+        lcfg = self._lcfg
+        cache_spec = tp_cache_spec(self.cache.quantized)
+
+        def fn(params, tokens, true_n, cache, slot, start):
+            view = KVCache(
+                cache.k_pages, cache.v_pages,
+                jax.lax.dynamic_slice_in_dim(cache.page_table, slot, 1),
+                start[None],
+                cache.k_scales, cache.v_scales)
+            logits, view = verify_step(params, lcfg, tokens, view,
+                                       tp_axis="tp")
+            lengths = cache.lengths.at[slot].set(start + true_n)
+            new_cache = KVCache(view.k_pages, view.v_pages,
+                                cache.page_table, lengths,
+                                view.k_scales, view.v_scales)
+            return logits[0, true_n - 1], new_cache
+
+        self._chunk_fn = jax.jit(shard_map(
+            fn, mesh=self.mesh,
+            in_specs=(param_specs(self.cfg), P(), P(), cache_spec, P(),
+                      P()),
+            out_specs=(P(), cache_spec), check_vma=False))
+        return self._chunk_fn
