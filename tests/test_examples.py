@@ -8,6 +8,7 @@ import pytest
 EXAMPLES = ["examples/vector_add.py", "examples/tiled_matmul.py",
             "examples/double_buffered_copy.py",
             "examples/serving_pipeline.py",
+            "examples/serving_scaled.py",
             "examples/train_tiny.py"]
 
 
