@@ -84,7 +84,11 @@ class ContinuousBatcher:
 
         # chunked_prefill = chunk length C: prompts longer than C admit
         # in C-token chunks through the prefix-prefill kernel, bounding
-        # admission activation memory by O(C) instead of O(prompt)
+        # admission activation memory by O(C) instead of O(prompt).
+        # Note: on bf16 hardware the chunked path's logits differ from
+        # whole-prompt flash prefill at the last bit (different kernels),
+        # so greedy streams can diverge at argmax near-ties — both are
+        # equally valid samples of the model
         self.chunk = chunked_prefill
         assert chunked_prefill is None or chunked_prefill >= 1
         self._decode_fns = {}  # pages_per_block -> jitted decode step
