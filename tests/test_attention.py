@@ -334,3 +334,27 @@ def test_carry_chain_default_blocks_tpv(dtype, rng):
     np.testing.assert_allclose(np.asarray(o, np.float32),
                                np.asarray(full, np.float32),
                                rtol=tol, atol=tol)
+
+
+def test_window_offset_gqa_tails(rng):
+    """The full feature stack at once — GQA grouping, causal_offset
+    (prefill), sliding window, and non-block-multiple Sq/Skv — matches a
+    dense banded reference (mirrors the hardware shakedown case)."""
+    import math
+    B, Hq, Hkv, Sq, Skv, D, off, W = 1, 4, 2, 300, 500, 64, 200, 150
+    q = jnp.asarray(rng.standard_normal((B, Hq, Sq, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, Hkv, Skv, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, Hkv, Skv, D)), jnp.float32)
+    out = attn.flash_attention(q, k, v, causal=True, causal_offset=off,
+                               window=W, block_q=128, block_k=128)
+    g = Hq // Hkv
+    kf = jnp.repeat(k, g, axis=1)
+    vf = jnp.repeat(v, g, axis=1)
+    s = jnp.einsum("bhqd,bhkd->bhqk", q, kf) / math.sqrt(D)
+    rows = np.arange(Sq)[:, None]
+    cols = np.arange(Skv)[None, :]
+    band = (cols <= rows + off) & (cols >= rows + off - W + 1)
+    s = jnp.where(jnp.asarray(band), s, -jnp.inf)
+    ref = jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(s, axis=-1), vf)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
