@@ -189,3 +189,98 @@ def test_ulysses_grads(rng):
     for a, b in zip(g, g_ref):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-3, atol=2e-3)
+
+
+# ---- collective matmul (overlapped TP GEMM) ----
+
+def test_all_gather_matmul(mesh, rng):
+    from tpukern.parallel.collective_matmul import all_gather_matmul
+    n = mesh.shape["x"]
+    M, K, N = 4 * n, 32, 8 * n
+    x = jnp.asarray(rng.standard_normal((M, K)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((K, N)), jnp.float32)
+    ref = np.asarray(x) @ np.asarray(w)
+    for bidi in (False, True):
+        out = all_gather_matmul(x, w, mesh, "x", bidirectional=bidi)
+        assert out.shape == (M, N)
+        np.testing.assert_allclose(np.asarray(out), ref, rtol=1e-5,
+                                   atol=1e-4)
+
+
+def test_all_gather_matmul_odd_half(mesh, rng):
+    """m_loc odd -> bidirectional silently falls back to unidirectional."""
+    from tpukern.parallel.collective_matmul import all_gather_matmul
+    n = mesh.shape["x"]
+    M, K, N = n, 16, 8 * n  # m_loc == 1
+    x = jnp.asarray(rng.standard_normal((M, K)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((K, N)), jnp.float32)
+    out = all_gather_matmul(x, w, mesh, "x", bidirectional=True)
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(x) @ np.asarray(w),
+                               rtol=1e-5, atol=1e-4)
+
+
+def test_matmul_reduce_scatter(mesh, rng):
+    from tpukern.parallel.collective_matmul import matmul_reduce_scatter
+    n = mesh.shape["x"]
+    M, K, N = 4 * n, 8 * n, 24
+    x = jnp.asarray(rng.standard_normal((M, K)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((K, N)), jnp.float32)
+    out = matmul_reduce_scatter(x, w, mesh, "x")
+    assert out.shape == (M, N)
+    np.testing.assert_allclose(np.asarray(out),
+                               np.asarray(x) @ np.asarray(w),
+                               rtol=1e-5, atol=1e-4)
+
+
+def test_tp_mlp_matches_local(mesh, rng):
+    """AG-matmul -> gelu -> matmul-RS == the unsharded two-layer MLP."""
+    import jax
+    from tpukern.parallel.collective_matmul import tp_mlp
+    n = mesh.shape["x"]
+    S, E, F = 4 * n, 32, 8 * n
+    x = jnp.asarray(rng.standard_normal((S, E)), jnp.float32)
+    w1 = jnp.asarray(rng.standard_normal((E, F)) * 0.1, jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((F, E)) * 0.1, jnp.float32)
+    out = tp_mlp(x, w1, w2, mesh, "x")
+    ref = jax.nn.gelu(np.asarray(x) @ np.asarray(w1)) @ np.asarray(w2)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_collective_matmul_grads(mesh, rng):
+    """ppermute/dynamic-slice transposes give correct grads (no psum in
+    either primitive, so the check_vma=False psum-transpose caveat does
+    not apply here)."""
+    import jax
+    from tpukern.parallel.collective_matmul import (all_gather_matmul,
+                                                    matmul_reduce_scatter)
+    n = mesh.shape["x"]
+    M, K, N = 2 * n, 16, 4 * n
+    x = jnp.asarray(rng.standard_normal((M, K)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((K, N)), jnp.float32)
+
+    def loss_ag(x, w):
+        return jnp.sum(all_gather_matmul(x, w, mesh, "x") ** 2)
+
+    def loss_ref(x, w):
+        return jnp.sum((x @ w) ** 2)
+
+    g = jax.grad(loss_ag, argnums=(0, 1))(x, w)
+    gr = jax.grad(loss_ref, argnums=(0, 1))(x, w)
+    for a, b in zip(g, gr):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-3)
+
+    M2, K2, N2 = 2 * n, 4 * n, 16
+    x2 = jnp.asarray(rng.standard_normal((M2, K2)), jnp.float32)
+    w2 = jnp.asarray(rng.standard_normal((K2, N2)), jnp.float32)
+
+    def loss_rs(x, w):
+        return jnp.sum(matmul_reduce_scatter(x, w, mesh, "x") ** 2)
+
+    g2 = jax.grad(loss_rs, argnums=(0, 1))(x2, w2)
+    gr2 = jax.grad(loss_ref, argnums=(0, 1))(x2, w2)
+    for a, b in zip(g2, gr2):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=1e-4, atol=1e-3)

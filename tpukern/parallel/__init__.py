@@ -23,10 +23,16 @@ from tpukern.parallel.collectives import (
 )
 from tpukern.parallel.ring_attention import ring_attention
 from tpukern.parallel.ulysses import ulysses_attention
+from tpukern.parallel.collective_matmul import (
+    all_gather_matmul,
+    matmul_reduce_scatter,
+    tp_mlp,
+)
 
 __all__ = [
     "p2p", "broadcast", "scatter", "gather", "reduce", "all_reduce",
     "all_gather", "all_gather_object", "reduce_scatter", "all_to_all",
     "ring_attention",
     "ulysses_attention",
+    "all_gather_matmul", "matmul_reduce_scatter", "tp_mlp",
 ]
