@@ -358,3 +358,88 @@ def test_window_offset_gqa_tails(rng):
     ref = jnp.einsum("bhqk,bhkd->bhqd", jax.nn.softmax(s, axis=-1), vf)
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("causal", [False, True])
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_segment_ids(causal, dtype, rng):
+    """Packed-sequence masking == unfused reference, multi-KV-block grid,
+    segment boundaries deliberately unaligned with the 128-blocks."""
+    B, H, S, D = 2, 2, 512, 64
+    q, k, v = _qkv(rng, B, H, S, D, dtype)
+    # 3 packed docs with odd boundaries + a trailing pad segment
+    bounds = [0, 200, 333, 480, S]
+    seg = np.zeros((B, S), np.int32)
+    for i in range(len(bounds) - 1):
+        seg[:, bounds[i]:bounds[i + 1]] = i
+    seg[1] = np.roll(seg[1], 57)  # different packing per batch row
+    seg_j = jnp.asarray(seg)
+    out = attn.flash_attention(q, k, v, causal=causal,
+                               segment_ids=(seg_j, seg_j),
+                               block_q=128, block_k=128)
+    ref = attn.attention_ref(q, k, v, causal=causal,
+                             segment_ids=(seg_j, seg_j))
+    t = _TOL[jnp.dtype(out.dtype).name]
+    np.testing.assert_allclose(np.asarray(out, np.float64),
+                               np.asarray(ref, np.float64), **t)
+
+
+def test_segment_ids_dead_rows(rng):
+    """Rows whose segment matches no kv output exactly 0 (not garbage)."""
+    B, H, S, D = 1, 1, 256, 64
+    q, k, v = _qkv(rng, B, H, S, D, jnp.float32)
+    q_seg = jnp.full((B, S), 7, jnp.int32).at[:, :128].set(0)
+    kv_seg = jnp.zeros((B, S), jnp.int32)  # only segment 0 exists in kv
+    out = attn.flash_attention(q, k, v, segment_ids=(q_seg, kv_seg),
+                               block_q=128, block_k=128)
+    assert np.all(np.asarray(out[:, :, 128:]) == 0.0)
+    ref = attn.attention_ref(q, k, v,
+                             segment_ids=(q_seg, kv_seg))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_segment_ids_tails(rng):
+    """Segments + non-block-multiple Sq/Skv (XLA-boundary padding uses
+    non-matching sentinels)."""
+    B, H, D = 1, 2, 64
+    Sq, Skv = 200, 328
+    q = jnp.asarray(rng.standard_normal((B, H, Sq, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, H, Skv, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, H, Skv, D)), jnp.float32)
+    q_seg = jnp.asarray((np.arange(Sq)[None] >= 100).astype(np.int32))
+    kv_seg = jnp.asarray((np.arange(Skv)[None] >= 160).astype(np.int32))
+    out = attn.flash_attention(q, k, v, segment_ids=(q_seg, kv_seg),
+                               block_q=128, block_k=128)
+    ref = attn.attention_ref(q, k, v, segment_ids=(q_seg, kv_seg))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("dtype", [jnp.float32, jnp.bfloat16])
+def test_softcap(dtype, rng):
+    """Gemma-style tanh logit capping == reference, causal and not, with
+    a cap small enough to actually bend the logits."""
+    B, H, S, D = 1, 2, 384, 64
+    q, k, v = _qkv(rng, B, H, S, D, dtype)
+    for causal in (False, True):
+        out = attn.flash_attention(q, k, v, causal=causal, softcap=5.0,
+                                   block_q=128, block_k=128)
+        ref = attn.attention_ref(q, k, v, causal=causal, softcap=5.0)
+        t = _TOL[jnp.dtype(out.dtype).name]
+        np.testing.assert_allclose(np.asarray(out, np.float64),
+                                   np.asarray(ref, np.float64), **t)
+
+
+def test_softcap_with_segments(rng):
+    """softcap composes with segment masking (cap before mask)."""
+    B, H, S, D = 1, 1, 256, 64
+    q, k, v = _qkv(rng, B, H, S, D, jnp.float32)
+    seg = jnp.asarray((np.arange(S)[None] >= 130).astype(np.int32))
+    out = attn.flash_attention(q, k, v, causal=True, softcap=8.0,
+                               segment_ids=(seg, seg),
+                               block_q=128, block_k=128)
+    ref = attn.attention_ref(q, k, v, causal=True, softcap=8.0,
+                             segment_ids=(seg, seg))
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)

@@ -58,7 +58,8 @@ MAX_HEADDIM = {
 
 def _fa_kernel(*refs, causal, block_q, block_k, with_stats,
                has_alibi, causal_offset=0, kv_len=None, use_exp2=True,
-               has_carry_in=False, carry_out=False, window=None):
+               has_carry_in=False, carry_out=False, window=None,
+               has_segments=False, softcap=None):
     """Online-softmax body, by default in log2 space: q arrives pre-scaled
     by sm_scale*log2(e), so p = exp2(s - m) uses the VPU's fast exp2 and
     saves one multiply per score element (the rescale-then-update
@@ -75,6 +76,10 @@ def _fa_kernel(*refs, causal, block_q, block_k, with_stats,
     if has_alibi:
         slopes_ref = refs[i]
         i += 1
+    qseg_ref = kseg_ref = None
+    if has_segments:
+        qseg_ref, kseg_ref = refs[i:i + 2]
+        i += 2
     acc_in_ref = m_in_ref = l_in_ref = None
     if has_carry_in:
         acc_in_ref, m_in_ref, l_in_ref = refs[i:i + 3]
@@ -136,6 +141,14 @@ def _fa_kernel(*refs, causal, block_q, block_k, with_stats,
         s = jax.lax.dot_general(
             q, k, dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=prec)
+        if softcap is not None:
+            # Gemma-style logit soft-capping: s = cap * tanh(s / cap).
+            # q arrives pre-scaled by sm_scale ONLY in this mode (the
+            # LOG2E fold would land inside the tanh); convert to log2
+            # space after capping instead.
+            s = softcap * jnp.tanh(s * (1.0 / softcap))
+            if use_exp2:
+                s = s * LOG2E
         need_cols = mask_causal or has_alibi or kv_len is not None
         if need_cols:
             cols = (jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
@@ -157,6 +170,14 @@ def _fa_kernel(*refs, causal, block_q, block_k, with_stats,
                               s, NEG_BIG)
         if kv_len is not None:
             s = jnp.where(cols < kv_len, s, NEG_BIG)
+        if has_segments:
+            # packed sequences: query row r may only attend to kv column c
+            # when their segment ids match. Blocks arrive (1, bq)/(1, bk);
+            # the q side reshapes to a column via sublane relayout (once
+            # per (bq, bk) tile — amortized over the whole score block).
+            qseg = qseg_ref[0].reshape(block_q, 1)
+            kseg = kseg_ref[0].reshape(1, block_k)
+            s = jnp.where(qseg == kseg, s, NEG_BIG)
 
         exp_fn = jnp.exp2 if use_exp2 else jnp.exp
         m_prev = m_ref[:, :1]
@@ -210,6 +231,11 @@ def _fa_kernel(*refs, causal, block_q, block_k, with_stats,
             l_out_ref[0, 0] = jnp.broadcast_to(l, l_out_ref.shape[2:])
             return
         l_inv = jnp.where(l == 0.0, 0.0, 1.0 / l)
+        if has_segments:
+            # a row whose segment matches no kv anywhere keeps m == NEG_BIG
+            # and self-heals into p == 1 garbage (exp(NEG_BIG - NEG_BIG));
+            # define its output as 0, matching attention_ref
+            l_inv = jnp.where(m_ref[:, :1] <= NEG_BIG * 0.5, 0.0, l_inv)
         o_ref[0, 0] = (acc_ref[...].astype(jnp.float32) * l_inv
                        ).astype(o_ref.dtype)
         if with_stats:
@@ -223,7 +249,8 @@ def flash_attention(q, k, v, *, causal=False, sm_scale=None,
                     block_q=None, block_k=None, acc_dtype=jnp.float32,
                     return_stats=False, alibi_slopes=None,
                     causal_offset=0, window=None, carry=None,
-                    return_carry=False, interpret=None):
+                    return_carry=False, segment_ids=None, softcap=None,
+                    interpret=None):
     """FA-2 forward. q: (B, Hq, Sq, D); k, v: (B, Hkv, Skv, D), Hkv | Hq.
 
     alibi_slopes: optional (Hq,) per-head ALiBi slopes (linear position
@@ -239,6 +266,12 @@ def flash_attention(q, k, v, *, causal=False, sm_scale=None,
     blocks entirely outside the band are skipped, so FLOPs scale with
     S*window rather than S^2.
 
+    segment_ids = (q_seg (B, Sq) int, kv_seg (B, Skv) int) masks packed
+    sequences: a query attends only to kv positions with an equal segment
+    id (composes with causal for packed causal training). Rows whose
+    segment matches nothing output 0. softcap applies Gemma-style logit
+    soft-capping, s -> cap * tanh(s / cap), before masking.
+
     carry / return_carry chain the online-softmax state ACROSS calls
     (the in-kernel ring-attention combine): carry = (acc (B,Hq,Sq,D) f32
     un-normalized output, m (B,Hq,Sq) f32 natural-log running max,
@@ -253,6 +286,7 @@ def flash_attention(q, k, v, *, causal=False, sm_scale=None,
     # feature the tpv kernel lacks — explicit blocks mean a tuned tier.
     if (q.shape[-1] <= 64 and block_q is None and block_k is None
             and alibi_slopes is None and window is None
+            and segment_ids is None and softcap is None
             and acc_dtype == jnp.float32):
         return flash_attention_tpv(q, k, v, causal=causal,
                                    sm_scale=sm_scale,
@@ -273,8 +307,11 @@ def flash_attention(q, k, v, *, causal=False, sm_scale=None,
     # the kernel then uses the fast native exp2 (FA at small D is VPU-bound
     # on TPU). The f32 tier keeps natural-log space + accurate exp.
     use_exp2 = jnp.dtype(orig_dtype) != jnp.float32
+    # with softcap the LOG2E fold would land inside the tanh — prescale by
+    # sm_scale only and let the kernel convert to log2 space after capping
     q = (q.astype(jnp.float32)
-         * (sm_scale * (LOG2E if use_exp2 else 1.0))).astype(q.dtype)
+         * (sm_scale * (LOG2E if use_exp2 and softcap is None else 1.0))
+         ).astype(q.dtype)
     # shape-aware defaults from the v5e sweep (tools/fa_tune.py, frozen in
     # BENCH_NOTES.md): grid-step overhead dominates small tiles, VMEM caps
     # large ones (scale with D), and causal prefers bq >= bk (block-level
@@ -308,13 +345,17 @@ def flash_attention(q, k, v, *, causal=False, sm_scale=None,
     if window is not None:
         assert causal, "sliding window requires causal=True"
         assert window >= 1
+    if softcap is not None:
+        assert softcap > 0
+        assert not has_alibi, "softcap + alibi ordering is ambiguous"
     kernel = functools.partial(
         _fa_kernel, causal=causal,
         block_q=bq, block_k=bk, with_stats=return_stats,
         has_alibi=has_alibi, causal_offset=causal_offset,
         kv_len=Skv if Skv % bk else None, use_exp2=use_exp2,
         has_carry_in=carry is not None, carry_out=return_carry,
-        window=window)
+        window=window, has_segments=segment_ids is not None,
+        softcap=softcap)
 
     # lse carries an 8-wide trailing dim: Mosaic block shapes need the
     # last two dims (8, 128)-aligned or array-sized. Only materialized
@@ -358,6 +399,21 @@ def flash_attention(q, k, v, *, causal=False, sm_scale=None,
         in_specs.append(pl.BlockSpec(memory_space=pltpu.SMEM))
         args.append(jnp.asarray(alibi_slopes, jnp.float32)
                     * (LOG2E if use_exp2 else 1.0))
+    if segment_ids is not None:
+        q_seg, kv_seg = segment_ids
+        assert q_seg.shape == (B, Sq) and kv_seg.shape == (B, Skv), (
+            f"segment_ids must be ((B,Sq),(B,Skv)); got {q_seg.shape}, "
+            f"{kv_seg.shape}")
+        # distinct negative sentinels so padded rows/cols never match
+        q_seg = jnp.pad(q_seg.astype(jnp.int32),
+                        ((0, 0), (0, Sq_p - Sq)), constant_values=-1)
+        kv_seg = jnp.pad(kv_seg.astype(jnp.int32),
+                         ((0, 0), (0, Skv_p - Skv)), constant_values=-2)
+        in_specs.append(pl.BlockSpec((1, bq), lambda b, h, i, j: (b, i),
+                                     memory_space=pltpu.VMEM))
+        in_specs.append(pl.BlockSpec((1, bk), lambda b, h, i, j: (b, j),
+                                     memory_space=pltpu.VMEM))
+        args.extend([q_seg, kv_seg])
     if carry is not None:
         acc_in, m_in, l_in = carry
         pad_q = ((0, 0), (0, 0), (0, Sq_p - Sq), (0, 0))
@@ -670,7 +726,7 @@ def flash_attention_tpv(q, k, v, *, causal=False, sm_scale=None,
 
 
 def attention_ref(q, k, v, *, causal=False, sm_scale=None,
-                  alibi_slopes=None):
+                  alibi_slopes=None, segment_ids=None, softcap=None):
     """Unfused XLA reference (the reference harness's `unfused attention`,
     flash_attn_mma.py:384), with GQA broadcast."""
     B, Hq, Sq, D = q.shape
@@ -683,6 +739,8 @@ def attention_ref(q, k, v, *, causal=False, sm_scale=None,
     s = jnp.einsum("bhqd,bhkd->bhqk", q.astype(jnp.float32),
                    k.astype(jnp.float32),
                    precision=jax.lax.Precision.HIGHEST) * sm_scale
+    if softcap is not None:
+        s = softcap * jnp.tanh(s / softcap)
     if alibi_slopes is not None:
         rel = (jnp.arange(Skv)[None, :] - jnp.arange(Sq)[:, None]
                ).astype(jnp.float32)
@@ -690,7 +748,15 @@ def attention_ref(q, k, v, *, causal=False, sm_scale=None,
     if causal:
         mask = jnp.tril(jnp.ones((Sq, Skv), bool))
         s = jnp.where(mask, s, -jnp.inf)
-    p = jax.nn.softmax(s, axis=-1)
+    if segment_ids is not None:
+        q_seg, kv_seg = segment_ids
+        match = q_seg[:, None, :, None] == kv_seg[:, None, None, :]
+        s = jnp.where(match, s, -jnp.inf)
+    # rows masked everywhere (e.g. a padding segment with no kv): define
+    # the output as 0, matching the kernel's l == 0 guard
+    all_masked = jnp.all(jnp.isneginf(s), axis=-1, keepdims=True)
+    p = jax.nn.softmax(jnp.where(all_masked, 0.0, s), axis=-1)
+    p = jnp.where(all_masked, 0.0, p)
     return jnp.einsum("bhqk,bhkd->bhqd", p, v.astype(jnp.float32),
                       precision=jax.lax.Precision.HIGHEST).astype(q.dtype)
 
