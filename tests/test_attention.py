@@ -431,6 +431,39 @@ def test_softcap(dtype, rng):
                                    np.asarray(ref, np.float64), **t)
 
 
+@pytest.mark.parametrize("causal", [False, True])
+def test_duo_multiblock(causal, rng):
+    """Split-softmax (duo) tier: two independent per-block chains merged
+    in-kernel must equal the single-chain kernel across several KV grid
+    steps, with GQA grouping."""
+    B, H, S, D = 1, 4, 1024, 128
+    q, k, v = _qkv(rng, B, H, S, D, jnp.float32, Hkv=2)
+    out = attn.flash_attention(q, k, v, causal=causal, duo=True,
+                               block_q=256, block_k=256)
+    ref = attn.attention_ref(q, k, v, causal=causal)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
+def test_duo_tails_offset(rng):
+    """duo with non-block-multiple Skv (a whole chain half can be fully
+    masked by kv_len — the merge's underflow-to-zero self-healing) and a
+    causal offset."""
+    B, H, D = 1, 2, 64
+    # Skv mod 256 = 104 < 128: the LAST block's second chain half is
+    # entirely beyond kv_len — exercises the fully-masked-half merge
+    Sq, Skv, off = 192, 360, 168
+    q = jnp.asarray(rng.standard_normal((B, H, Sq, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, H, Skv, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, H, Skv, D)), jnp.float32)
+    out = attn.flash_attention(q, k, v, causal=True, causal_offset=off,
+                               duo=True, block_q=128, block_k=256)
+    ref = attn.attention_ref_offset(q, k, v, causal_offset=off)
+    assert np.isfinite(np.asarray(out)).all()
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_softcap_with_segments(rng):
     """softcap composes with segment masking (cap before mask)."""
     B, H, S, D = 1, 1, 256, 64

@@ -51,6 +51,7 @@ MAX_HEADDIM = {
     "mha_splitq_bf16_stage4": 1024,
     "mha_splitq_bf16_bigq": 512,
     "mha_splitq_bf16_accbf16": 1024,
+    "mha_splitq_bf16_duo": 1024,
     "mha_xla_sdpa": 16384,
     "mha_unfused": 16384,
 }
@@ -59,7 +60,7 @@ MAX_HEADDIM = {
 def _fa_kernel(*refs, causal, block_q, block_k, with_stats,
                has_alibi, causal_offset=0, kv_len=None, use_exp2=True,
                has_carry_in=False, carry_out=False, window=None,
-               has_segments=False, softcap=None):
+               has_segments=False, softcap=None, duo=False):
     """Online-softmax body, by default in log2 space: q arrives pre-scaled
     by sm_scale*log2(e), so p = exp2(s - m) uses the VPU's fast exp2 and
     saves one multiply per score element (the rescale-then-update
@@ -135,7 +136,63 @@ def _fa_kernel(*refs, causal, block_q, block_k, with_stats,
     # f32 dots through bf16 multiplies (~1e-3 relative error)
     prec = None if use_exp2 else jax.lax.Precision.HIGHEST
 
+    def body_duo(mask_causal):
+        # Split-softmax: the KV block is processed as two INDEPENDENT
+        # online-softmax chains (own m/l/pv), merged at the end. The two
+        # chains have no cross-dependencies, so the Mosaic scheduler can
+        # overlap chain A's VPU softmax with chain B's MXU matmuls —
+        # the FA-3 softmax/GEMM-overlap idea expressed as ILP instead of
+        # warp specialization. MEASURED (v5e, B4 H16 S8192 D128):
+        # performance-NEUTRAL at the tuned blocks (151.5 vs 150.9 TFLOPS
+        # non-causal, 102.3 vs 103.3 causal at bq=1024 bk=2048) and
+        # clearly worse at small bk (117.8 vs 143.8 at bk=1024) — the
+        # cross-grid-step software pipeline already hides the VPU work,
+        # so the extra (bq, D) rescale multiply per chain only costs.
+        # Kept as the in-kernel split-softmax merge demonstration (the
+        # same merge algebra the split-kv / ring combines use).
+        exp_fn = jnp.exp2 if use_exp2 else jnp.exp
+        q = q_ref[0, 0]
+        hbk = block_k // 2
+        parts = []
+        for hh in range(2):
+            k_h = k_ref[0, 0][hh * hbk:(hh + 1) * hbk]
+            s = jax.lax.dot_general(
+                q, k_h, dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec)
+            if mask_causal or kv_len is not None:
+                cols = (jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+                        + ki * block_k + hh * hbk)
+            if mask_causal:
+                rows = (jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+                        + qi * block_q)
+                s = jnp.where(cols <= rows + causal_offset, s, NEG_BIG)
+            if kv_len is not None:
+                s = jnp.where(cols < kv_len, s, NEG_BIG)
+            m_h = jnp.max(s, axis=-1, keepdims=True)
+            p_h = exp_fn(s - m_h)
+            l_h = jnp.sum(p_h, axis=-1, keepdims=True)
+            v_h = v_ref[0, 0][hh * hbk:(hh + 1) * hbk]
+            pv_h = jax.lax.dot_general(
+                p_h.astype(v_h.dtype), v_h,
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec)
+            parts.append((m_h, l_h, pv_h))
+        (m_a, l_a, pv_a), (m_b, l_b, pv_b) = parts
+        m_prev = m_ref[:, :1]
+        l_prev = l_ref[:, :1]
+        m_ab = jnp.maximum(m_a, m_b)
+        m_next = jnp.maximum(m_prev, m_ab)
+        sc_a = exp_fn(m_a - m_next)
+        sc_b = exp_fn(m_b - m_next)
+        alpha = exp_fn(m_prev - m_next)
+        l_ref[:, :1] = alpha * l_prev + sc_a * l_a + sc_b * l_b
+        m_ref[:, :1] = m_next
+        acc_ref[...] = (acc_ref[...].astype(jnp.float32) * alpha
+                        + pv_a * sc_a + pv_b * sc_b).astype(acc_ref.dtype)
+
     def body(mask_causal):
+        if duo:
+            return body_duo(mask_causal)
         q = q_ref[0, 0]
         k = k_ref[0, 0]
         s = jax.lax.dot_general(
@@ -250,7 +307,7 @@ def flash_attention(q, k, v, *, causal=False, sm_scale=None,
                     return_stats=False, alibi_slopes=None,
                     causal_offset=0, window=None, carry=None,
                     return_carry=False, segment_ids=None, softcap=None,
-                    interpret=None):
+                    duo=False, interpret=None):
     """FA-2 forward. q: (B, Hq, Sq, D); k, v: (B, Hkv, Skv, D), Hkv | Hq.
 
     alibi_slopes: optional (Hq,) per-head ALiBi slopes (linear position
@@ -286,7 +343,7 @@ def flash_attention(q, k, v, *, causal=False, sm_scale=None,
     # feature the tpv kernel lacks — explicit blocks mean a tuned tier.
     if (q.shape[-1] <= 64 and block_q is None and block_k is None
             and alibi_slopes is None and window is None
-            and segment_ids is None and softcap is None
+            and segment_ids is None and softcap is None and not duo
             and acc_dtype == jnp.float32):
         return flash_attention_tpv(q, k, v, causal=causal,
                                    sm_scale=sm_scale,
@@ -327,6 +384,10 @@ def flash_attention(q, k, v, *, causal=False, sm_scale=None,
             block_k = 2048 if (D <= 128 and Skv >= 4096) else 1024
     bq = min(block_q, Sq)
     bk = min(block_k, Skv)
+    if duo and bk % 256:
+        # duo halves must be lane-aligned: round bk to a 256 multiple
+        # (tails are handled by the XLA-boundary padding + kv_len mask)
+        bk = max(256, (bk // 256) * 256)
     # Non-block-multiple sequence lengths: zero-pad at the XLA boundary so
     # tail blocks hold defined data (Pallas tail padding is undefined
     # memory), and mask the padded KV columns in-kernel (kv_len below) so
@@ -348,6 +409,13 @@ def flash_attention(q, k, v, *, causal=False, sm_scale=None,
     if softcap is not None:
         assert softcap > 0
         assert not has_alibi, "softcap + alibi ordering is ambiguous"
+    if duo:
+        assert (not has_alibi and segment_ids is None and softcap is None
+                and window is None), (
+            "the duo (split-softmax) tier supports causal/offset/tails "
+            "only; use the standard kernel for alibi/segments/softcap/"
+            "window")
+        assert bk % 256 == 0  # guaranteed by the rounding at bk selection
     kernel = functools.partial(
         _fa_kernel, causal=causal,
         block_q=bq, block_k=bk, with_stats=return_stats,
@@ -355,7 +423,7 @@ def flash_attention(q, k, v, *, causal=False, sm_scale=None,
         kv_len=Skv if Skv % bk else None, use_exp2=use_exp2,
         has_carry_in=carry is not None, carry_out=return_carry,
         window=window, has_segments=segment_ids is not None,
-        softcap=softcap)
+        softcap=softcap, duo=duo)
 
     # lse carries an 8-wide trailing dim: Mosaic block shapes need the
     # last two dims (8, 128)-aligned or array-sized. Only materialized
@@ -851,6 +919,10 @@ _VARIANTS = [
     ("mha_splitq_bf16_stage4", jnp.bfloat16, dict(block_k=512)),
     ("mha_splitq_bf16_bigq", jnp.bfloat16, dict(block_q=1024, block_k=1024)),
     ("mha_splitq_bf16_accbf16", jnp.bfloat16, dict(acc_dtype=jnp.bfloat16)),
+    # split-softmax tier: two independent per-block softmax chains merged
+    # in-kernel (FA-3 overlap idea as ILP). Measured perf-neutral at the
+    # tuned blocks — see body_duo's docstring for the numbers.
+    ("mha_splitq_bf16_duo", jnp.bfloat16, dict(duo=True)),
 ]
 
 
