@@ -138,16 +138,43 @@ def bench_misc(args, rng):
             print(f"gemv_{sfx:<29} SKIP ({type(e).__name__}: {e})")
 
 
+def bench_cross_entropy(args, rng):
+    """LM-head loss: compute-bound (2*N*D*V flops) but the interesting
+    number is that fused never materializes the (N, V) logits."""
+    N, D, V = 8192, 2048, 32768
+    pretty_print_line(f"cross_entropy (N={N}, D={D}, V={V})")
+    x = jnp.asarray(rng.standard_normal((N, D)), jnp.float32)
+    w = jnp.asarray(rng.standard_normal((D, V)) * 0.02, jnp.float32)
+    tgt = jnp.asarray(rng.integers(0, V, N), jnp.int32)
+    for name, v in sorted(registry.variants("cross_entropy").items()):
+        fn = jax.jit(v.fn)
+        # everything except fused_f32 runs bf16-precision matmuls (the
+        # fused bf16 kernel by dtype, the XLA baselines by TPU default
+        # f32-matmul truncation), so check at the bf16 tolerance vs the
+        # HIGHEST-precision oracle
+        cdt = jnp.float32 if name == "fused_f32" else jnp.bfloat16
+        try:
+            run_benchmark(fn, x, w, tgt, tag=name,
+                          flops=2 * N * D * V, iters=args.iters,
+                          ref=v.ref if args.check else None,
+                          check=args.check, check_dtype=cdt)
+        except Exception as e:
+            print(f"{name:<34} SKIP ({type(e).__name__}: {e})")
+
+
 def main():
     args = get_args()
     rng = np.random.default_rng(0)
     fams = ([args.family] if args.family else
-            EW_FAMILIES + ROW_FAMILIES + ["reduce", "misc"])
+            EW_FAMILIES + ROW_FAMILIES + ["reduce", "misc",
+                                          "cross_entropy"])
     for fam in fams:
         if fam == "reduce":
             bench_reduce(args, rng)
         elif fam == "misc":
             bench_misc(args, rng)
+        elif fam == "cross_entropy":
+            bench_cross_entropy(args, rng)
         elif fam in ROW_FAMILIES:
             bench_family(fam, args, rng)
         else:

@@ -1,5 +1,6 @@
 """Flagship transformer: forward parity, gradients, sharded training step."""
 
+import dataclasses
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -181,3 +182,46 @@ def test_moe_model_sharded_grads_match_single_device():
         np.testing.assert_allclose(
             np.asarray(g), np.asarray(r), rtol=5e-4, atol=1e-5,
             err_msg=f"grad mismatch for {path}")
+
+
+def test_fused_loss_matches_unfused():
+    """cfg.fused_loss: the fused LM-head CE (ops/cross_entropy.py) gives
+    the same loss and gradients as the materialized-logits path, single
+    device and on a (dp, tp) mesh."""
+    cfg = Config(vocab=256, d_model=64, n_layers=1, n_heads=4, n_kv_heads=2,
+                 d_ff=128, max_seq=32)
+    cfg_f = dataclasses.replace(cfg, fused_loss=True)
+    params = init_params(cfg, jax.random.key(2))
+    rng = np.random.default_rng(2)
+    tokens = jnp.asarray(rng.integers(0, cfg.vocab, (4, 32)), jnp.int32)
+    targets = jnp.asarray(rng.integers(0, cfg.vocab, (4, 32)), jnp.int32)
+
+    ref_loss, ref_grads = jax.value_and_grad(loss_fn)(
+        params, tokens, targets, cfg)
+    loss, grads = jax.value_and_grad(loss_fn)(
+        params, tokens, targets, cfg_f)
+    np.testing.assert_allclose(float(loss), float(ref_loss), rtol=1e-5)
+    for (p, r), g in zip(
+            jax.tree_util.tree_flatten_with_path(ref_grads)[0][0:999],
+            jax.tree.leaves(grads)):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(r), rtol=2e-4, atol=1e-6,
+            err_msg=f"grad mismatch for {jax.tree_util.keystr(p)}")
+
+    devs = np.array(jax.devices()).reshape(4, 2)
+    mesh = Mesh(devs, axis_names=("dp", "tp"))
+    specs = param_specs(cfg)
+    params_s = jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        params, specs, is_leaf=lambda x: isinstance(x, jnp.ndarray))
+    data_spec = NamedSharding(mesh, P("dp", None))
+    loss_s, grads_s = jax.jit(make_sharded_grad_fn(cfg_f, mesh))(
+        params_s, jax.device_put(tokens, data_spec),
+        jax.device_put(targets, data_spec))
+    np.testing.assert_allclose(float(loss_s), float(ref_loss), rtol=1e-5)
+    for (p, r), g in zip(
+            jax.tree_util.tree_flatten_with_path(ref_grads)[0][0:999],
+            jax.tree.leaves(grads_s)):
+        np.testing.assert_allclose(
+            np.asarray(g), np.asarray(r), rtol=2e-4, atol=2e-6,
+            err_msg=f"sharded grad mismatch for {jax.tree_util.keystr(p)}")

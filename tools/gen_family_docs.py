@@ -47,6 +47,7 @@ MODULES = {
     "paged_attention": "tpukern.ops.paged_attention",
     "nms": "tpukern.ops.nms",
     "quant": "tpukern.ops.quant",
+    "cross_entropy": "tpukern.ops.cross_entropy",
 }
 
 # command whose output feeds a family's log; several families can share
@@ -72,6 +73,7 @@ COMMANDS = {
     "quant": [sys.executable, "tools/family_probe.py", "quant"],
     "paged_attention": [sys.executable, "tools/family_probe.py",
                         "paged_attention"],
+    "cross_entropy": OPS + ["--family", "cross_entropy"],
 }
 
 # which log lines belong to a family when a command covers several

@@ -54,6 +54,10 @@ class Config:
     n_experts: int = 0
     moe_top_k: int = 1
     moe_capacity_factor: float = 2.0
+    # fused LM-head loss (ops/cross_entropy.py): compute the CE directly
+    # from the pre-head hidden states without materializing the
+    # (B, S, vocab) logits tensor — the (N, V) slab never touches HBM
+    fused_loss: bool = False
 
     @property
     def head_dim(self):
@@ -191,9 +195,11 @@ def _moe_block(h, lp, cfg: Config, ep_axis):
 
 
 def forward(params, tokens, cfg: Config, tp_size: int = 1, tp_axis=None,
-            sp_axis=None, ep_axis=None):
+            sp_axis=None, ep_axis=None, return_hidden=False):
     """tokens (B, S_local) int32 -> logits (B, S_local, vocab) f32.
-    With sp_axis, S_local is the per-shard slice of the sequence."""
+    With sp_axis, S_local is the per-shard slice of the sequence. With
+    return_hidden, stop before the LM head and return the final-norm
+    hidden states (B*S_local, d) instead (the fused-loss entry point)."""
     B, S = tokens.shape
     h = jnp.take(params["embed"], tokens, axis=0)
     for lp in params["layers"]:
@@ -205,12 +211,24 @@ def forward(params, tokens, cfg: Config, tp_size: int = 1, tp_axis=None,
         else:
             h = h + _mlp_block(hn, lp, tp_axis)
     hn = rms_norm_t(h.reshape(B * S, -1), params["lnf"])
+    if return_hidden:
+        return hn
     logits = matmul_t(hn, params["head"]).reshape(B, S, cfg.vocab)
     return logits.astype(jnp.float32)
 
 
 def loss_fn(params, tokens, targets, cfg: Config, tp_size=1, tp_axis=None,
             sp_axis=None, ep_axis=None):
+    if cfg.fused_loss:
+        # head is replicated on every mesh we build (param_specs), so each
+        # shard runs the fused kernel on its local tokens; the caller's
+        # pmean over mesh axes turns the local means into the global mean
+        from tpukern.ops.cross_entropy import fused_cross_entropy
+        hn = forward(params, tokens, cfg, tp_size, tp_axis, sp_axis,
+                     ep_axis, return_hidden=True)
+        losses = fused_cross_entropy(hn, params["head"],
+                                     targets.reshape(-1))
+        return jnp.mean(losses)
     logits = forward(params, tokens, cfg, tp_size, tp_axis, sp_axis, ep_axis)
     logp = jax.nn.log_softmax(logits, axis=-1)
     nll = -jnp.take_along_axis(logp, targets[..., None], axis=-1)

@@ -23,4 +23,6 @@ from tpukern.ops import (  # noqa: F401
     attention,
     paged_attention,
     quant,
+    cross_entropy,
+    sampling,
 )
