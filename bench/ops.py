@@ -162,12 +162,29 @@ def bench_cross_entropy(args, rng):
             print(f"{name:<34} SKIP ({type(e).__name__}: {e})")
 
 
+def bench_sampling(args, rng):
+    """Decode-shaped sampling: (B, V) logits -> (B,) token ids. Pure
+    HBM-read bound (one pass over the logits for the fused kernels)."""
+    B, V = 64, 131072
+    pretty_print_line(f"sampling (B={B}, V={V})")
+    logits = jnp.asarray(rng.standard_normal((B, V)) * 2, jnp.float32)
+    for name, v in sorted(registry.variants("sampling").items()):
+        fn = jax.jit(v.fn)
+        try:
+            run_benchmark(fn, logits, tag=name,
+                          bytes_moved=v.bytes_moved, iters=args.iters,
+                          ref=v.ref if args.check else None,
+                          check=args.check)
+        except Exception as e:
+            print(f"{name:<34} SKIP ({type(e).__name__}: {e})")
+
+
 def main():
     args = get_args()
     rng = np.random.default_rng(0)
     fams = ([args.family] if args.family else
             EW_FAMILIES + ROW_FAMILIES + ["reduce", "misc",
-                                          "cross_entropy"])
+                                          "cross_entropy", "sampling"])
     for fam in fams:
         if fam == "reduce":
             bench_reduce(args, rng)
@@ -175,6 +192,8 @@ def main():
             bench_misc(args, rng)
         elif fam == "cross_entropy":
             bench_cross_entropy(args, rng)
+        elif fam == "sampling":
+            bench_sampling(args, rng)
         elif fam in ROW_FAMILIES:
             bench_family(fam, args, rng)
         else:

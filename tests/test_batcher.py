@@ -354,3 +354,22 @@ def test_chunked_prefill_admission(setup):
     assert set(f2) == set(f0)
     for i in f0:
         assert len(f2[i]) == len(f0[i])
+
+
+def test_batcher_topk_sampling(setup):
+    """Sampled decode with top-k restriction: all emitted tokens valid,
+    run completes, and two same-seed runs agree (deterministic chain)."""
+    params, prompts = setup
+
+    def run(seed):
+        cb = ContinuousBatcher(params, CFG, n_slots=2, pages_per_seq=2,
+                               page_size=128, max_new_tokens=4,
+                               prompt_buckets=(64,), greedy=False,
+                               temperature=0.9, top_k=8, seed=seed)
+        return cb.run([(i, p) for i, p in enumerate(prompts)])
+
+    a, b = run(11), run(11)
+    assert set(a) == {0, 1, 2}
+    for i in a:
+        assert a[i] == b[i], (i, a[i], b[i])
+        assert all(0 <= t < CFG.vocab for t in a[i])

@@ -246,3 +246,33 @@ def test_fp8_cache_tier(setup):
             denom = max(1.0, float(np.abs(ref).max()))
             assert np.abs(ref - out).max() / denom < 0.25, \
                 np.abs(ref - out).max()
+
+
+def test_generate_sampled_restricted(setup):
+    """generate with top_k/top_p/min_p sampling (the fused gumbel-max
+    kernel): tokens are valid, deterministic per key, and each sampled
+    decode token lies inside that step's top-k support."""
+    params, prompt = setup
+    kw = dict(pages_per_seq=2, page_size=128, greedy=False,
+              temperature=0.8, top_k=4)
+    out1 = serving.generate(params, CFG, prompt, n_steps=3,
+                            key=jax.random.key(7), **kw)
+    out2 = serving.generate(params, CFG, prompt, n_steps=3,
+                            key=jax.random.key(7), **kw)
+    np.testing.assert_array_equal(np.asarray(out1), np.asarray(out2))
+    assert ((np.asarray(out1) >= 0) & (np.asarray(out1) < CFG.vocab)).all()
+
+    # replay the chain: every sampled step's token must be in the top-k
+    # of the logits that produced it (the first emitted token is the
+    # prefill argmax by construction)
+    B = prompt.shape[0]
+    cache = serving.init_cache(CFG, B, pages_per_seq=2, page_size=128)
+    logits, cache = serving.prefill(params, CFG, prompt, cache)
+    tok = jnp.argmax(logits, -1).astype(jnp.int32)
+    np.testing.assert_array_equal(np.asarray(out1[:, 0]), np.asarray(tok))
+    for i in range(1, 3):
+        logits, cache = serving.decode_step(params, CFG, tok, cache)
+        topk = np.asarray(jax.lax.top_k(logits, 4)[1])
+        tok = out1[:, i]
+        for b in range(B):
+            assert int(tok[b]) in topk[b]

@@ -48,6 +48,7 @@ MODULES = {
     "nms": "tpukern.ops.nms",
     "quant": "tpukern.ops.quant",
     "cross_entropy": "tpukern.ops.cross_entropy",
+    "sampling": "tpukern.ops.sampling",
 }
 
 # command whose output feeds a family's log; several families can share
@@ -74,6 +75,7 @@ COMMANDS = {
     "paged_attention": [sys.executable, "tools/family_probe.py",
                         "paged_attention"],
     "cross_entropy": OPS + ["--family", "cross_entropy"],
+    "sampling": OPS + ["--family", "sampling"],
 }
 
 # which log lines belong to a family when a command covers several

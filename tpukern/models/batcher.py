@@ -53,6 +53,7 @@ class ContinuousBatcher:
     def __init__(self, params, cfg, n_slots, pages_per_seq, page_size=128,
                  eos_id=None, max_new_tokens=64, prompt_buckets=(64, 128),
                  greedy=True, temperature=1.0, seed=0,
+                 top_k=0, top_p=1.0, min_p=0.0,
                  cache_dtype=jnp.bfloat16, chunked_prefill=None):
         self.params = params
         self.cfg = cfg
@@ -63,6 +64,10 @@ class ContinuousBatcher:
         self.greedy = greedy
         assert temperature > 0
         self.temperature = temperature
+        # support restriction for sampled decode (ops/sampling.py fused
+        # gumbel-max kernel); all off -> plain categorical over the
+        # temperature-scaled distribution
+        self.top_k, self.top_p, self.min_p = top_k, top_p, min_p
         self.key = jax.random.key(seed)
 
         # cache_dtype=jnp.int8 serves from the quantized KV tier (2x
@@ -225,6 +230,14 @@ class ContinuousBatcher:
         if self.greedy:
             return np.asarray(jnp.argmax(logits, -1), np.int32)
         self.key, sub = jax.random.split(self.key)
+        if self.top_k or self.top_p < 1.0 or self.min_p > 0.0:
+            # fused gumbel-max pass restricted to the configured support
+            from tpukern.ops.sampling import sample
+            seed = jax.random.randint(sub, (), 0, np.int32(2**31 - 1))
+            return np.asarray(sample(logits, seed,
+                                     temperature=self.temperature,
+                                     top_k=self.top_k, top_p=self.top_p,
+                                     min_p=self.min_p), np.int32)
         return np.asarray(
             jax.random.categorical(sub, logits / self.temperature),
             np.int32)

@@ -15,6 +15,7 @@ All shapes are static (XLA-friendly): B_max sequences, fixed page pool.
 import dataclasses
 from typing import Any
 
+import numpy as np
 import jax
 import jax.numpy as jnp
 
@@ -366,23 +367,35 @@ def rollback(cache: KVCache, new_lengths):
 
 def generate(params, cfg: Config, prompt, n_steps, pages_per_seq=8,
              page_size=128, greedy=True, key=None,
+             temperature=1.0, top_k=0, top_p=1.0, min_p=0.0,
              cache_dtype=jnp.bfloat16):
     """Prefill the prompt then decode n_steps tokens (greedy or sampled).
     Returns (B, n_steps) generated token ids. cache_dtype=jnp.int8
-    serves from the quantized KV tier."""
+    serves from the quantized KV tier. With any of top_k/top_p/min_p (or
+    temperature != 1) the sampled path runs the fused gumbel-max kernel
+    (ops/sampling.py) restricted to that support."""
     B, T = prompt.shape
     cache = init_cache(cfg, B, pages_per_seq, page_size, dtype=cache_dtype)
     logits, cache = prefill(params, cfg, prompt, cache)
     outs = []
+    restricted = top_k or top_p < 1.0 or min_p > 0.0 or temperature != 1.0
+
+    def _pick(logits, key):
+        if greedy:
+            return jnp.argmax(logits, -1).astype(jnp.int32), key
+        key, sub = jax.random.split(key)
+        if restricted:
+            from tpukern.ops.sampling import sample
+            seed = jax.random.randint(sub, (), 0, np.int32(2**31 - 1))
+            return sample(logits, seed, temperature=temperature,
+                          top_k=top_k, top_p=top_p, min_p=min_p), key
+        return jax.random.categorical(sub, logits).astype(jnp.int32), key
+
     tok = jnp.argmax(logits, -1).astype(jnp.int32)
     for i in range(n_steps):
         outs.append(tok)
         logits, cache = decode_step(params, cfg, tok, cache)
-        if greedy:
-            tok = jnp.argmax(logits, -1).astype(jnp.int32)
-        else:
-            key, sub = jax.random.split(key)
-            tok = jax.random.categorical(sub, logits).astype(jnp.int32)
+        tok, key = _pick(logits, key)
     return jnp.stack(outs, axis=1)
 
 
