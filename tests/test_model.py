@@ -225,3 +225,57 @@ def test_fused_loss_matches_unfused():
         np.testing.assert_allclose(
             np.asarray(g), np.asarray(r), rtol=2e-4, atol=2e-6,
             err_msg=f"sharded grad mismatch for {jax.tree_util.keystr(p)}")
+
+
+def test_zero1_optimizer_sharding():
+    """zero1=True: replicated params' adam moments shard over dp, and the
+    training trajectory is identical to the unsharded-optimizer step."""
+    cfg = Config(vocab=128, d_model=128, n_layers=1, n_heads=4,
+                 n_kv_heads=2, d_ff=256, max_seq=32)
+    from tpukern.models import shard_opt_state, zero1_specs
+    params = init_params(cfg, jax.random.key(3))
+    rng = np.random.default_rng(3)
+    tokens = jnp.asarray(rng.integers(0, cfg.vocab, (4, 32)), jnp.int32)
+    targets = jnp.asarray(rng.integers(0, cfg.vocab, (4, 32)), jnp.int32)
+
+    devs = np.array(jax.devices()).reshape(4, 2)
+    mesh = Mesh(devs, axis_names=("dp", "tp"))
+    specs = param_specs(cfg)
+    put = lambda tree, ss: jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        tree, ss, is_leaf=lambda x: isinstance(x, jnp.ndarray))
+    data = NamedSharding(mesh, P("dp", None))
+    tok_s, tgt_s = jax.device_put(tokens, data), jax.device_put(targets, data)
+    tx = optax.adam(1e-2)
+
+    # baseline: replicated optimizer state
+    p0 = put(params, specs)
+    s0 = jax.jit(tx.init)(p0)
+    step0 = make_sharded_train_step(cfg, tx, mesh)
+    p0, s0, l0 = step0(p0, s0, tok_s, tgt_s)
+    p0, s0, l0 = step0(p0, s0, tok_s, tgt_s)
+
+    # zero1: moments dp-sharded
+    p1 = put(params, specs)
+    zspecs = zero1_specs(cfg, mesh)
+    s1 = shard_opt_state(jax.jit(tx.init)(p1), p1, zspecs, specs, mesh)
+    step1 = make_sharded_train_step(cfg, tx, mesh, zero1=True)
+    p1, s1, l1 = step1(p1, s1, tok_s, tgt_s)
+    p1, s1, l1 = step1(p1, s1, tok_s, tgt_s)
+
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-6)
+    # adam amplifies recompile-level f32 reassociation noise through
+    # mu/(sqrt(nu)+eps) while nu is near zero (verified: the same two
+    # steps under SGD are bit-identical), so the tolerance here is
+    # adam-noise-sized, not exactness-sized
+    for (path, a), b in zip(
+            jax.tree_util.tree_flatten_with_path(p0)[0],
+            jax.tree.leaves(p1)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-3, atol=1e-6,
+            err_msg=f"param drift at {jax.tree_util.keystr(path)}")
+
+    # the embed/head moments must actually be dp-sharded (not replicated)
+    mu = s1[0].mu  # ScaleByAdamState
+    sh = mu["embed"].sharding
+    assert "dp" in sh.spec, sh.spec

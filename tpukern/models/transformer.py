@@ -27,7 +27,7 @@ import jax
 import jax.numpy as jnp
 import optax
 from jax import lax
-from jax.sharding import Mesh, PartitionSpec as P
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
 from tpukern.ops.trainable import (
@@ -298,7 +298,54 @@ def make_sharded_grad_fn(cfg: Config, mesh: Mesh):
         check_vma=False)
 
 
-def make_sharded_train_step(cfg: Config, tx, mesh: Mesh):
+def zero1_specs(cfg: Config, mesh: Mesh, axis="dp", ep=False):
+    """ZeRO-1 PartitionSpecs for per-param optimizer state (adam mu/nu):
+    shard each otherwise-REPLICATED param's moments over the data axis
+    (the first dimension divisible by |axis|); params already sharded on
+    a model axis keep their param spec (their moments shard the same way
+    the param does, which is already memory-optimal per device).
+
+    Use with make_sharded_train_step(..., zero1=True): the optimizer
+    update is elementwise, so annotating the moment shardings is all
+    ZeRO-1 needs — XLA partitions the update over dp and re-gathers the
+    applied updates into the replicated params (the classic
+    reduce-scatter(grad) -> local update -> all-gather(param) schedule
+    falls out of GSPMD sharding propagation)."""
+    n = mesh.shape[axis]
+    p_specs = param_specs(cfg, ep=ep)
+    shapes = jax.eval_shape(lambda: init_params(cfg, jax.random.key(0)))
+
+    def leaf(spec, shape):
+        if any(s is not None for s in spec):
+            return spec  # model-sharded param: moments follow the param
+        for d, size in enumerate(shape.shape):
+            if size % n == 0 and size >= n:
+                return P(*([None] * d), axis)
+        return spec
+
+    return jax.tree.map(leaf, p_specs, shapes,
+                        is_leaf=lambda x: isinstance(x, P))
+
+
+def shard_opt_state(opt_state, params, zspecs, p_specs, mesh: Mesh):
+    """device_put an optax opt state with ZeRO-1 shardings: leaves with a
+    param's shape take that param's zero1 spec; scalars/rest replicate."""
+    by_shape = {}
+    flat_p = jax.tree.leaves(params)
+    flat_z = jax.tree.leaves(zspecs, is_leaf=lambda x: isinstance(x, P))
+    for p, z in zip(flat_p, flat_z):
+        by_shape.setdefault(p.shape, z)
+
+    def put(leaf):
+        spec = by_shape.get(getattr(leaf, "shape", None), P())
+        if not isinstance(leaf, jnp.ndarray):
+            return leaf
+        return jax.device_put(leaf, NamedSharding(mesh, spec))
+
+    return jax.tree.map(put, opt_state)
+
+
+def make_sharded_train_step(cfg: Config, tx, mesh: Mesh, zero1=False):
     """SPMD train step over a ("dp", "tp") or ("dp", "tp", "sp") mesh.
 
     The forward/backward runs under shard_map (explicit SPMD: Pallas
@@ -311,13 +358,34 @@ def make_sharded_train_step(cfg: Config, tx, mesh: Mesh):
     averages identical values — a no-op). The optax update stays outside
     shard_map — it is elementwise, so GSPMD keeps params/opt-state
     shardings as-is.
-    """
+
+    zero1=True additionally pins per-param optimizer-state moments to
+    dp-sharded layouts inside the step (ZeRO-1: each dp member stores and
+    updates 1/dp of the moments; pass the opt state through
+    shard_opt_state(...) first so the initial layout matches)."""
     grad_fn = make_sharded_grad_fn(cfg, mesh)
+    zspecs = (zero1_specs(cfg, mesh, ep="ep" in mesh.axis_names)
+              if zero1 else None)
+
+    def _pin(opt_state, params):
+        by_shape = {}
+        for p, z in zip(jax.tree.leaves(params),
+                        jax.tree.leaves(zspecs,
+                                        is_leaf=lambda x: isinstance(x, P))):
+            by_shape.setdefault(p.shape, z)
+        return jax.tree.map(
+            lambda leaf: jax.lax.with_sharding_constraint(
+                leaf, NamedSharding(
+                    mesh, by_shape.get(getattr(leaf, "shape", None), P())))
+            if isinstance(leaf, jnp.ndarray) else leaf,
+            opt_state)
 
     @jax.jit
     def step(params, opt_state, tokens, targets):
         loss, grads = grad_fn(params, tokens, targets)
         updates, opt_state = tx.update(grads, opt_state, params)
+        if zero1:
+            opt_state = _pin(opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
 
