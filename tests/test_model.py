@@ -279,3 +279,86 @@ def test_zero1_optimizer_sharding():
     mu = s1[0].mu  # ScaleByAdamState
     sh = mu["embed"].sharding
     assert "dp" in sh.spec, sh.spec
+
+
+def test_remat_grads_exact():
+    """cfg.remat: identical loss and gradients (recomputation changes
+    memory, not math), single device and sharded."""
+    cfg = Config(vocab=64, d_model=64, n_layers=2, n_heads=4, n_kv_heads=2,
+                 d_ff=128, max_seq=32)
+    cfg_r = dataclasses.replace(cfg, remat=True)
+    params = init_params(cfg, jax.random.key(4))
+    rng = np.random.default_rng(4)
+    tokens = jnp.asarray(rng.integers(0, cfg.vocab, (4, 32)), jnp.int32)
+    targets = jnp.asarray(rng.integers(0, cfg.vocab, (4, 32)), jnp.int32)
+
+    l0, g0 = jax.value_and_grad(loss_fn)(params, tokens, targets, cfg)
+    l1, g1 = jax.value_and_grad(loss_fn)(params, tokens, targets, cfg_r)
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-6)
+    for (path, a), b in zip(jax.tree_util.tree_flatten_with_path(g0)[0],
+                            jax.tree.leaves(g1)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-5, atol=1e-8,
+            err_msg=f"remat grad mismatch at {jax.tree_util.keystr(path)}")
+
+    devs = np.array(jax.devices()).reshape(4, 2)
+    mesh = Mesh(devs, axis_names=("dp", "tp"))
+    specs = param_specs(cfg)
+    params_s = jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        params, specs, is_leaf=lambda x: isinstance(x, jnp.ndarray))
+    data = NamedSharding(mesh, P("dp", None))
+    ls, gs = jax.jit(make_sharded_grad_fn(cfg_r, mesh))(
+        params_s, jax.device_put(tokens, data),
+        jax.device_put(targets, data))
+    np.testing.assert_allclose(float(ls), float(l0), rtol=1e-5)
+    for (path, a), b in zip(jax.tree_util.tree_flatten_with_path(g0)[0],
+                            jax.tree.leaves(gs)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=2e-4, atol=2e-6,
+            err_msg=f"sharded remat grad at {jax.tree_util.keystr(path)}")
+
+
+def test_grad_accumulation_matches_full_batch():
+    """accum_steps=2: the accumulated gradient step equals the full-batch
+    step (equal microbatches -> mean of means is the global mean)."""
+    cfg = Config(vocab=64, d_model=64, n_layers=1, n_heads=4, n_kv_heads=2,
+                 d_ff=128, max_seq=32)
+    params = init_params(cfg, jax.random.key(5))
+    rng = np.random.default_rng(5)
+    tokens = jnp.asarray(rng.integers(0, cfg.vocab, (4, 32)), jnp.int32)
+    targets = jnp.asarray(rng.integers(0, cfg.vocab, (4, 32)), jnp.int32)
+    tx = optax.sgd(1e-2)  # elementwise-exact: isolates the accum math
+
+    s0 = tx.init(params)
+    p0, s0, l0 = make_train_step(cfg, tx)(params, s0, tokens, targets)
+    s1 = tx.init(params)
+    p1, s1, l1 = make_train_step(cfg, tx, accum_steps=2)(
+        params, s1, tokens, targets)
+    np.testing.assert_allclose(float(l1), float(l0), rtol=1e-6)
+    for (path, a), b in zip(jax.tree_util.tree_flatten_with_path(p0)[0],
+                            jax.tree.leaves(p1)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-6, atol=1e-7,
+            err_msg=f"accum drift at {jax.tree_util.keystr(path)}")
+
+    # sharded: accum over dp-sharded microbatches matches the plain step
+    devs = np.array(jax.devices()[:4]).reshape(2, 2)
+    mesh = Mesh(devs, axis_names=("dp", "tp"))
+    specs = param_specs(cfg)
+    put = lambda t: jax.tree.map(
+        lambda x, s: jax.device_put(x, NamedSharding(mesh, s)),
+        t, specs, is_leaf=lambda x: isinstance(x, jnp.ndarray))
+    data = NamedSharding(mesh, P("dp", None))
+    tok_s, tgt_s = (jax.device_put(tokens, data),
+                    jax.device_put(targets, data))
+    ps = put(params)
+    ss = jax.jit(tx.init)(ps)
+    ps, ss, lsh = make_sharded_train_step(cfg, tx, mesh, accum_steps=2)(
+        ps, ss, tok_s, tgt_s)
+    np.testing.assert_allclose(float(lsh), float(l0), rtol=1e-5)
+    for (path, a), b in zip(jax.tree_util.tree_flatten_with_path(p0)[0],
+                            jax.tree.leaves(ps)):
+        np.testing.assert_allclose(
+            np.asarray(a), np.asarray(b), rtol=1e-4, atol=1e-6,
+            err_msg=f"sharded accum drift at {jax.tree_util.keystr(path)}")

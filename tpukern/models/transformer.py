@@ -58,6 +58,10 @@ class Config:
     # from the pre-head hidden states without materializing the
     # (B, S, vocab) logits tensor — the (N, V) slab never touches HBM
     fused_loss: bool = False
+    # activation rematerialization (jax.checkpoint around each layer):
+    # recompute intra-layer activations in the backward pass instead of
+    # storing them — O(sqrt) activation memory for deep stacks
+    remat: bool = False
 
     @property
     def head_dim(self):
@@ -202,7 +206,8 @@ def forward(params, tokens, cfg: Config, tp_size: int = 1, tp_axis=None,
     hidden states (B*S_local, d) instead (the fused-loss entry point)."""
     B, S = tokens.shape
     h = jnp.take(params["embed"], tokens, axis=0)
-    for lp in params["layers"]:
+
+    def layer(h, lp):
         hn = rms_norm_t(h.reshape(B * S, -1), lp["ln1"]).reshape(h.shape)
         h = h + _attn_block(hn, lp, cfg, tp_size, tp_axis, sp_axis)
         hn = rms_norm_t(h.reshape(B * S, -1), lp["ln2"]).reshape(h.shape)
@@ -210,6 +215,16 @@ def forward(params, tokens, cfg: Config, tp_size: int = 1, tp_axis=None,
             h = h + _moe_block(hn, lp, cfg, ep_axis)
         else:
             h = h + _mlp_block(hn, lp, tp_axis)
+        return h
+
+    if cfg.remat:
+        # activation rematerialization: keep only the per-layer boundary
+        # activations live through the backward pass; everything inside a
+        # layer (attention, MLP, norms) is recomputed — the standard
+        # FLOPs-for-HBM trade for deep stacks / long sequences
+        layer = jax.checkpoint(layer)
+    for lp in params["layers"]:
+        h = layer(h, lp)
     hn = rms_norm_t(h.reshape(B * S, -1), params["lnf"])
     if return_hidden:
         return hn
@@ -235,11 +250,43 @@ def loss_fn(params, tokens, targets, cfg: Config, tp_size=1, tp_axis=None,
     return jnp.mean(nll)
 
 
-def make_train_step(cfg: Config, tx):
-    """Single-device train step (params, opt_state, tokens, targets)."""
+def _accum_grads(grad_of_batch, tokens, targets, accum_steps):
+    """Split the batch into accum_steps microbatches, lax.scan the grad
+    fn over them, and average — the grad of the full-batch mean loss
+    exactly (equal microbatch sizes), at 1/accum_steps the activation
+    memory."""
+    B = tokens.shape[0]
+    assert B % accum_steps == 0, (B, accum_steps)
+    mb = B // accum_steps
+    tok_mb = tokens.reshape(accum_steps, mb, *tokens.shape[1:])
+    tgt_mb = targets.reshape(accum_steps, mb, *targets.shape[1:])
+
+    def body(carry, batch):
+        loss_acc, grads_acc = carry
+        loss, grads = grad_of_batch(*batch)
+        return (loss_acc + loss,
+                jax.tree.map(jnp.add, grads_acc, grads)), None
+
+    loss0, grads0 = grad_of_batch(tok_mb[0], tgt_mb[0])
+    (loss, grads), _ = jax.lax.scan(
+        body, (loss0, grads0), (tok_mb[1:], tgt_mb[1:]))
+    inv = 1.0 / accum_steps
+    return loss * inv, jax.tree.map(lambda g: g * inv, grads)
+
+
+def make_train_step(cfg: Config, tx, accum_steps=1):
+    """Single-device train step (params, opt_state, tokens, targets).
+    accum_steps > 1 splits the batch into that many microbatches and
+    accumulates gradients before the single optimizer update."""
 
     def step(params, opt_state, tokens, targets):
-        loss, grads = jax.value_and_grad(loss_fn)(params, tokens, targets, cfg)
+        def gb(tok, tgt):
+            return jax.value_and_grad(loss_fn)(params, tok, tgt, cfg)
+
+        if accum_steps > 1:
+            loss, grads = _accum_grads(gb, tokens, targets, accum_steps)
+        else:
+            loss, grads = gb(tokens, targets)
         updates, opt_state = tx.update(grads, opt_state, params)
         params = optax.apply_updates(params, updates)
         return params, opt_state, loss
@@ -345,7 +392,8 @@ def shard_opt_state(opt_state, params, zspecs, p_specs, mesh: Mesh):
     return jax.tree.map(put, opt_state)
 
 
-def make_sharded_train_step(cfg: Config, tx, mesh: Mesh, zero1=False):
+def make_sharded_train_step(cfg: Config, tx, mesh: Mesh, zero1=False,
+                            accum_steps=1):
     """SPMD train step over a ("dp", "tp") or ("dp", "tp", "sp") mesh.
 
     The forward/backward runs under shard_map (explicit SPMD: Pallas
@@ -362,7 +410,11 @@ def make_sharded_train_step(cfg: Config, tx, mesh: Mesh, zero1=False):
     zero1=True additionally pins per-param optimizer-state moments to
     dp-sharded layouts inside the step (ZeRO-1: each dp member stores and
     updates 1/dp of the moments; pass the opt state through
-    shard_opt_state(...) first so the initial layout matches)."""
+    shard_opt_state(...) first so the initial layout matches).
+
+    accum_steps > 1 scans the (still dp-sharded) microbatches through the
+    shard_mapped grad fn and averages before the single optimizer update
+    (gradient accumulation; the global batch must split evenly)."""
     grad_fn = make_sharded_grad_fn(cfg, mesh)
     zspecs = (zero1_specs(cfg, mesh, ep="ep" in mesh.axis_names)
               if zero1 else None)
@@ -382,7 +434,12 @@ def make_sharded_train_step(cfg: Config, tx, mesh: Mesh, zero1=False):
 
     @jax.jit
     def step(params, opt_state, tokens, targets):
-        loss, grads = grad_fn(params, tokens, targets)
+        if accum_steps > 1:
+            loss, grads = _accum_grads(
+                lambda tok, tgt: grad_fn(params, tok, tgt),
+                tokens, targets, accum_steps)
+        else:
+            loss, grads = grad_fn(params, tokens, targets)
         updates, opt_state = tx.update(grads, opt_state, params)
         if zero1:
             opt_state = _pin(opt_state, params)
