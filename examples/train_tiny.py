@@ -8,6 +8,11 @@ their custom-VJP trainable wrappers):
   init -> adamw train steps on a toy copy task -> loss drops ->
   orbax checkpoint save/restore -> restored params resume bit-identically.
 
+The config turns on the production-memory levers so the example doubles
+as their smoke test: fused_loss (ops/cross_entropy.py — logits never
+materialize), remat (per-layer jax.checkpoint), and accum_steps=2
+gradient accumulation in the step.
+
 Run: JAX_PLATFORMS=cpu python examples/train_tiny.py
 (interpret-mode Pallas; the same code runs compiled on TPU, and the
 sharded twin of this loop is models.make_sharded_train_step — see
@@ -29,7 +34,7 @@ from tpukern.models import Config, init_params, make_train_step
 from tpukern.models import checkpoint
 
 CFG = Config(vocab=32, d_model=64, n_layers=2, n_heads=2, n_kv_heads=2,
-             d_ff=128, max_seq=64)
+             d_ff=128, max_seq=64, fused_loss=True, remat=True)
 
 
 def batch(rng, B=8, S=32):
@@ -45,7 +50,7 @@ def main():
     params = init_params(CFG, jax.random.key(0))
     tx = optax.adamw(1e-2)
     opt_state = tx.init(params)
-    step = jax.jit(make_train_step(CFG, tx))
+    step = jax.jit(make_train_step(CFG, tx, accum_steps=2))
 
     first = last = None
     for i in range(40):
