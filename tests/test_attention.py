@@ -476,3 +476,85 @@ def test_softcap_with_segments(rng):
                              segment_ids=(seg, seg))
     np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
                                rtol=1e-4, atol=1e-4)
+
+
+def _grad_pair(loss, loss_ref, args, rtol=1e-3, atol=1e-3):
+    g = jax.grad(loss, argnums=tuple(range(len(args))))(*args)
+    g_ref = jax.grad(loss_ref, argnums=tuple(range(len(args))))(*args)
+    for i, (a, b) in enumerate(zip(g, g_ref)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=rtol, atol=atol,
+                                   err_msg=f"grad arg {i}")
+
+
+@pytest.mark.parametrize("window", [64, 100])
+def test_trainable_grads_window(window, rng):
+    """Sliding-window backward: dq/dk/dv == banded-mask autodiff, at a
+    block-straddling window and S >> block (multi-KV-step recurrence)."""
+    q, k, v = _qkv(rng, 1, 2, 1024, 64, jnp.float32)
+
+    def loss(q, k, v):
+        return jnp.sum(attn.flash_attention_trainable(
+            q, k, v, True, None, window) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(attn.attention_ref(q, k, v, causal=True,
+                                          window=window) ** 2)
+
+    _grad_pair(loss, loss_ref, (q, k, v))
+
+
+def test_trainable_grads_softcap(rng):
+    """Gemma-style softcap backward: the tanh derivative chains into ds."""
+    q, k, v = _qkv(rng, 1, 2, 256, 64, jnp.float32)
+
+    def loss(q, k, v):
+        return jnp.sum(attn.flash_attention_trainable(
+            q, k, v, True, None, None, 30.0) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(attn.attention_ref(q, k, v, causal=True,
+                                          softcap=30.0) ** 2)
+
+    _grad_pair(loss, loss_ref, (q, k, v))
+
+
+def test_trainable_grads_segments(rng):
+    """Packed-sequence backward: segment masking in dq/dk/dv, including a
+    padding segment that matches nothing (zero output AND zero grads)."""
+    B, H, S, D = 1, 2, 256, 64
+    q, k, v = _qkv(rng, B, H, S, D, jnp.float32)
+    seg = np.zeros((B, S), np.int32)
+    seg[:, 100:200] = 1
+    seg[:, 200:] = 2
+    seg[:, 240:] = -7  # padding: matches nothing (kv pad sentinel is -2)
+    segs = (jnp.asarray(seg), jnp.asarray(seg))
+
+    def loss(q, k, v):
+        return jnp.sum(attn.flash_attention_trainable(
+            q, k, v, True, None, None, None, segs) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(attn.attention_ref(q, k, v, causal=True,
+                                          segment_ids=segs) ** 2)
+
+    _grad_pair(loss, loss_ref, (q, k, v))
+
+
+def test_trainable_grads_window_softcap_gqa_tails(rng):
+    """The full featured-backward stack at once: sliding window + softcap
+    + GQA + non-block-multiple tails."""
+    B, Hq, Hkv, S, D = 1, 4, 2, 640, 64
+    q = jnp.asarray(rng.standard_normal((B, Hq, S, D)) * 0.5, jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, Hkv, S, D)) * 0.5, jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, Hkv, S, D)) * 0.5, jnp.float32)
+
+    def loss(q, k, v):
+        return jnp.sum(attn.flash_attention_trainable(
+            q, k, v, True, None, 96, 25.0, None) ** 2)
+
+    def loss_ref(q, k, v):
+        return jnp.sum(attn.attention_ref(
+            q, k, v, causal=True, window=96, softcap=25.0) ** 2)
+
+    _grad_pair(loss, loss_ref, (q, k, v))

@@ -28,6 +28,8 @@ index_map (no KV duplication in HBM).
 import functools
 import math
 
+import numpy as np
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
@@ -794,7 +796,8 @@ def flash_attention_tpv(q, k, v, *, causal=False, sm_scale=None,
 
 
 def attention_ref(q, k, v, *, causal=False, sm_scale=None,
-                  alibi_slopes=None, segment_ids=None, softcap=None):
+                  alibi_slopes=None, segment_ids=None, softcap=None,
+                  window=None):
     """Unfused XLA reference (the reference harness's `unfused attention`,
     flash_attn_mma.py:384), with GQA broadcast."""
     B, Hq, Sq, D = q.shape
@@ -815,6 +818,10 @@ def attention_ref(q, k, v, *, causal=False, sm_scale=None,
         s = s + jnp.asarray(alibi_slopes, jnp.float32)[None, :, None, None] * rel
     if causal:
         mask = jnp.tril(jnp.ones((Sq, Skv), bool))
+        if window is not None:
+            cols = jnp.arange(Skv)[None, :]
+            rows = jnp.arange(Sq)[:, None]
+            mask = mask & (cols >= rows - window + 1)
         s = jnp.where(mask, s, -jnp.inf)
     if segment_ids is not None:
         q_seg, kv_seg = segment_ids
@@ -869,38 +876,50 @@ def sdpa_xla(q, k, v, *, causal=False, sm_scale=None):
     return o.swapaxes(1, 2)
 
 
-@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4))
-def flash_attention_trainable(q, k, v, causal=False, sm_scale=None):
+@functools.partial(jax.custom_vjp, nondiff_argnums=(3, 4, 5, 6))
+def flash_attention_trainable(q, k, v, causal=False, sm_scale=None,
+                              window=None, softcap=None, segment_ids=None):
     """Differentiable FA-2: Pallas forward saving (o, lse) residuals,
     Pallas dQ/dKV backward kernels (ops/attention_bwd.py) — no S^2 matrix
     is materialized in either direction. (The reference library itself is
-    forward-only.)"""
-    return flash_attention(q, k, v, causal=causal, sm_scale=sm_scale)
+    forward-only.) window (causal sliding window), softcap (Gemma-style
+    logit cap) and segment_ids (packed sequences; int arrays, zero
+    cotangent) differentiate through the featured backward kernels."""
+    return flash_attention(q, k, v, causal=causal, sm_scale=sm_scale,
+                           window=window, softcap=softcap,
+                           segment_ids=segment_ids)
 
 
-def _fat_fwd(q, k, v, causal, sm_scale):
+def _fat_fwd(q, k, v, causal, sm_scale, window, softcap, segment_ids):
     o, lse = flash_attention(q, k, v, causal=causal, sm_scale=sm_scale,
-                             return_stats=True)
-    return o, (q, k, v, o, lse)
+                             window=window, softcap=softcap,
+                             segment_ids=segment_ids, return_stats=True)
+    return o, (q, k, v, o, lse, segment_ids)
 
 
-def _fat_bwd(causal, sm_scale, res, g):
+def _fat_bwd(causal, sm_scale, window, softcap, res, g):
     from tpukern.ops.attention_bwd import flash_attention_bwd
-    q, k, v, o, lse = res
+    q, k, v, o, lse, segment_ids = res
+    kw = dict(causal=causal, sm_scale=sm_scale, window=window,
+              softcap=softcap, segment_ids=segment_ids)
     B, Hq, Sq, D = q.shape
     Hkv = k.shape[1]
+    if segment_ids is None:
+        seg_ct = (None,)
+    else:
+        seg_ct = (tuple(np.zeros(s.shape, dtype=jax.dtypes.float0)
+                        for s in segment_ids),)
     if Hkv != Hq:
         group = Hq // Hkv
         k_full = jnp.repeat(k, group, axis=1)
         v_full = jnp.repeat(v, group, axis=1)
         dq, dk_full, dv_full = flash_attention_bwd(
-            q, k_full, v_full, o, lse, g, causal=causal, sm_scale=sm_scale)
+            q, k_full, v_full, o, lse, g, **kw)
         Skv = k.shape[2]
         dk = dk_full.reshape(B, Hkv, group, Skv, D).sum(2).astype(k.dtype)
         dv = dv_full.reshape(B, Hkv, group, Skv, D).sum(2).astype(v.dtype)
-        return dq, dk, dv
-    return flash_attention_bwd(q, k, v, o, lse, g, causal=causal,
-                               sm_scale=sm_scale)
+        return (dq, dk, dv) + seg_ct
+    return flash_attention_bwd(q, k, v, o, lse, g, **kw) + seg_ct
 
 
 flash_attention_trainable.defvjp(_fat_fwd, _fat_bwd)

@@ -28,8 +28,13 @@ NEG_BIG = -0.7 * 3.4e38
 LOG2E = math.log2(math.e)
 
 
-def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dq_ref, *,
-               scale, causal, block_q, block_k, kv_len=None, use_exp2=True):
+def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, *rest,
+               scale, causal, block_q, block_k, kv_len=None, use_exp2=True,
+               window=None, softcap=None, has_segments=False):
+    if has_segments:
+        qseg_ref, kseg_ref, dq_ref = rest
+    else:
+        (dq_ref,) = rest
     qi = pl.program_id(2)
     ki = pl.program_id(3)
 
@@ -38,6 +43,10 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dq_ref, *,
         dq_ref[...] = jnp.zeros_like(dq_ref)
 
     run = (qi + 1) * block_q - 1 >= ki * block_k if causal else True
+    if window is not None:
+        # block entirely below the band's lower edge contributes nothing
+        run = jnp.logical_and(
+            run, (ki + 1) * block_k - 1 >= qi * block_q - window + 1)
     # f32 tier: true-f32 MXU passes (TPU DEFAULT runs f32 dots via bf16)
     prec = None if use_exp2 else jax.lax.Precision.HIGHEST
 
@@ -52,38 +61,59 @@ def _dq_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, dq_ref, *,
 
         # p = exp(s*scale - lse), recomputed in log2 space for the
         # half-precision tiers (fast native exp2; see ops/attention.py)
-        s = jax.lax.dot_general(
+        s_raw = jax.lax.dot_general(
             q, k, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=prec
-        ) * (scale * (LOG2E if use_exp2 else 1.0))
+            preferred_element_type=jnp.float32, precision=prec) * scale
+        if softcap is not None:
+            # forward: s_cap = cap*tanh(s_raw/cap); backward chains
+            # d(s_cap)/d(s_raw) = 1 - tanh^2 into ds below
+            t = jnp.tanh(s_raw * (1.0 / softcap))
+            s = softcap * t * (LOG2E if use_exp2 else 1.0)
+        else:
+            s = s_raw * (LOG2E if use_exp2 else 1.0)
         p = (jnp.exp2 if use_exp2 else jnp.exp)(s - lse)
-        if causal:
+        if causal or window is not None or has_segments:
             rows = (jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
                     + qi * block_q)
             cols = (jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
                     + ki * block_k)
+        if causal:
             p = jnp.where(cols <= rows, p, 0.0)
+            if window is not None:
+                p = jnp.where(cols >= rows - window + 1, p, 0.0)
+        if has_segments:
+            qseg = qseg_ref[0, 0].reshape(block_q, 1)
+            kseg = kseg_ref[0, 0].reshape(1, block_k)
+            # where-select (never multiply): fully-masked segment rows
+            # carry lse = -inf, so unselected p entries can be inf/NaN
+            p = jnp.where(qseg == kseg, p, 0.0)
 
         dp = jax.lax.dot_general(
             do, v.astype(jnp.float32),
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=prec)
         ds = p * (dp - di) * scale
+        if softcap is not None:
+            ds = ds * (1.0 - t * t)
         if kv_len is not None:
             # Undefined tail-block K/V columns: mask ds AFTER all
             # arithmetic (p alone isn't enough — 0 * inf garbage = NaN).
-            cols = (jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
-                    + ki * block_k)
-            ds = jnp.where(cols < kv_len, ds, 0.0)
+            tcols = (jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+                     + ki * block_k)
+            ds = jnp.where(tcols < kv_len, ds, 0.0)
         dq_ref[0, 0] += jax.lax.dot_general(
             ds.astype(k.dtype), k,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=prec)
 
 
-def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
-                dk_ref, dv_ref, *, scale, causal, block_q, block_k,
-                q_len=None, use_exp2=True):
+def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref, *rest,
+                scale, causal, block_q, block_k, q_len=None, use_exp2=True,
+                window=None, softcap=None, has_segments=False):
+    if has_segments:
+        qseg_ref, kseg_ref, dk_ref, dv_ref = rest
+    else:
+        dk_ref, dv_ref = rest
     ki = pl.program_id(2)
     qi = pl.program_id(3)
 
@@ -93,6 +123,9 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
         dv_ref[...] = jnp.zeros_like(dv_ref)
 
     run = (qi + 1) * block_q - 1 >= ki * block_k if causal else True
+    if window is not None:
+        run = jnp.logical_and(
+            run, (ki + 1) * block_k - 1 >= qi * block_q - window + 1)
     prec = None if use_exp2 else jax.lax.Precision.HIGHEST
 
     @pl.when(run)
@@ -105,18 +138,28 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
         di = di_ref[0, 0][:, :1].reshape(1, -1)
 
         # (bk, bq) = k q^T, in log2 space for half-precision tiers
-        s_t = jax.lax.dot_general(
+        s_raw = jax.lax.dot_general(
             k, q, dimension_numbers=(((1,), (1,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=prec
-        ) * (scale * (LOG2E if use_exp2 else 1.0))
+            preferred_element_type=jnp.float32, precision=prec) * scale
+        if softcap is not None:
+            t = jnp.tanh(s_raw * (1.0 / softcap))
+            s_t = softcap * t * (LOG2E if use_exp2 else 1.0)
+        else:
+            s_t = s_raw * (LOG2E if use_exp2 else 1.0)
         p_t = (jnp.exp2 if use_exp2 else jnp.exp)(s_t - lse)
-        if causal or q_len is not None:
+        if causal or q_len is not None or window is not None:
             q_cols = (jax.lax.broadcasted_iota(jnp.int32, s_t.shape, 1)
                       + qi * block_q)
         if causal:
             kv_rows = (jax.lax.broadcasted_iota(jnp.int32, s_t.shape, 0)
                        + ki * block_k)
             p_t = jnp.where(kv_rows <= q_cols, p_t, 0.0)
+            if window is not None:
+                p_t = jnp.where(kv_rows >= q_cols - window + 1, p_t, 0.0)
+        if has_segments:
+            kseg = kseg_ref[0, 0].reshape(block_k, 1)
+            qseg = qseg_ref[0, 0].reshape(1, block_q)
+            p_t = jnp.where(kseg == qseg, p_t, 0.0)
         if q_len is not None:  # undefined tail-block Q columns
             p_t = jnp.where(q_cols < q_len, p_t, 0.0)
 
@@ -130,6 +173,8 @@ def _dkv_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
             dimension_numbers=(((1,), (1,)), ((), ())),
             preferred_element_type=jnp.float32, precision=prec)
         ds_t = p_t * (dp_t - di) * scale
+        if softcap is not None:
+            ds_t = ds_t * (1.0 - t * t)
         if q_len is not None:
             # mask again AFTER the arithmetic: di/lse carry undefined
             # padding in the tail Q columns and 0 * inf = NaN
@@ -293,15 +338,22 @@ def _dkv_t_kernel(qT_ref, k_ref, v_ref, doT_ref, lse_ref, di_ref,
 
 def flash_attention_bwd(q, k, v, o, lse, do, *, causal=False, sm_scale=None,
                         block_q=256, block_k=512, transposed=None,
+                        window=None, softcap=None, segment_ids=None,
                         interpret=None):
     """dQ, dK, dV from saved residuals. Hq == Hkv here; GQA grouping is
     handled by the caller (sum dk/dv over the query-head group).
     transposed: None = auto (transposed-layout kernels at D <= 64),
-    True/False forces the choice."""
+    True/False forces the choice. window/softcap/segment_ids mirror the
+    forward's features (ops/attention.py) and run on the standard-layout
+    kernels (the transposed twins stay the plain fast path)."""
     B, H, Sq, D = q.shape
     Skv = k.shape[2]
     if sm_scale is None:
         sm_scale = 1.0 / math.sqrt(D)
+    if window is not None:
+        assert causal, "sliding window requires causal=True"
+    featured = (window is not None or softcap is not None
+                or segment_ids is not None)
     bq = min(block_q, Sq)
     bk = min(block_k, Skv)
     interp = use_interpret() if interpret is None else interpret
@@ -329,6 +381,22 @@ def flash_attention_bwd(q, k, v, o, lse, do, *, causal=False, sm_scale=None,
     kv_len = Skv if Skv_p != Skv else None
     q_len = Sq if Sq_p != Sq else None
 
+    # packed-sequence masks: pad q/kv segments with DISTINCT sentinels so
+    # padded rows and columns never match anything (belt and braces with
+    # the q_len/kv_len tail masks)
+    has_segments = segment_ids is not None
+    if has_segments:
+        # (B, n_blocks, 1, bs) so the (1, 1, 1, bs) BlockSpec's trailing
+        # dims match the array exactly (Mosaic sublane rule; same layout
+        # trick as ops/cross_entropy.py targets)
+        q_seg, kv_seg = segment_ids
+        q_seg = jnp.pad(q_seg.astype(jnp.int32), ((0, 0), (0, Sq_p - Sq)),
+                        constant_values=-1
+                        ).reshape(B, Sq_p // bq, 1, bq)
+        kv_seg = jnp.pad(kv_seg.astype(jnp.int32),
+                         ((0, 0), (0, Skv_p - Skv)), constant_values=-2
+                         ).reshape(B, Skv_p // bk, 1, bk)
+
     def spec4(bs, idx):
         return pl.BlockSpec((1, 1, bs, D), idx, memory_space=pltpu.VMEM)
 
@@ -337,8 +405,15 @@ def flash_attention_bwd(q, k, v, o, lse, do, *, causal=False, sm_scale=None,
                             lambda *a, _f=idx: (*_f(*a), 0),
                             memory_space=pltpu.VMEM)
 
+    def spec_seg(bs, idx):
+        return pl.BlockSpec((1, 1, 1, bs),
+                            lambda *a, _f=idx: (*_f(*a), 0, 0),
+                            memory_space=pltpu.VMEM)
+
     if transposed is None:
-        transposed = D <= 64
+        transposed = D <= 64 and not featured
+    assert not (transposed and featured), \
+        "window/softcap/segment_ids need the standard-layout kernels"
     if transposed:
         # transposed-layout twins: the three half-MXU-width matmuls of the
         # standard layout (ds@k, p^T@do, ds^T@q — all D-wide) become
@@ -350,49 +425,60 @@ def flash_attention_bwd(q, k, v, o, lse, do, *, causal=False, sm_scale=None,
             use_exp2=use_exp2, interp=interp,
             out_dtypes=(q.dtype, k.dtype, v.dtype))
 
+    feat = dict(window=window, softcap=softcap, has_segments=has_segments)
+    dq_in = [q, k, v, do, lse8, di8]
+    dq_specs = [
+        spec4(bq, lambda b, h, i, j: (b, h, i, 0)),   # q
+        spec4(bk, lambda b, h, i, j: (b, h, j, 0)),   # k
+        spec4(bk, lambda b, h, i, j: (b, h, j, 0)),   # v
+        spec4(bq, lambda b, h, i, j: (b, h, i, 0)),   # do
+        spec3(bq, lambda b, h, i, j: (b, h, i)),      # lse
+        spec3(bq, lambda b, h, i, j: (b, h, i)),      # di
+    ]
+    if has_segments:
+        dq_in += [q_seg, kv_seg]
+        dq_specs += [spec_seg(bq, lambda b, h, i, j: (b, i)),
+                     spec_seg(bk, lambda b, h, i, j: (b, j))]
     dq = pl.pallas_call(
         functools.partial(_dq_kernel, scale=sm_scale, causal=causal,
                           block_q=bq, block_k=bk, kv_len=kv_len,
-                          use_exp2=use_exp2),
+                          use_exp2=use_exp2, **feat),
         out_shape=jax.ShapeDtypeStruct((B, H, Sq_p, D), jnp.float32),
         grid=(B, H, cdiv(Sq_p, bq), cdiv(Skv_p, bk)),
-        in_specs=[
-            spec4(bq, lambda b, h, i, j: (b, h, i, 0)),   # q
-            spec4(bk, lambda b, h, i, j: (b, h, j, 0)),   # k
-            spec4(bk, lambda b, h, i, j: (b, h, j, 0)),   # v
-            spec4(bq, lambda b, h, i, j: (b, h, i, 0)),   # do
-            spec3(bq, lambda b, h, i, j: (b, h, i)),      # lse
-            spec3(bq, lambda b, h, i, j: (b, h, i)),      # di
-        ],
+        in_specs=dq_specs,
         out_specs=spec4(bq, lambda b, h, i, j: (b, h, i, 0)),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel",
                                  "arbitrary")),
         interpret=interp,
-    )(q, k, v, do, lse8, di8)
+    )(*dq_in)
 
+    dkv_specs = [
+        spec4(bq, lambda b, h, i, j: (b, h, j, 0)),   # q
+        spec4(bk, lambda b, h, i, j: (b, h, i, 0)),   # k
+        spec4(bk, lambda b, h, i, j: (b, h, i, 0)),   # v
+        spec4(bq, lambda b, h, i, j: (b, h, j, 0)),   # do
+        spec3(bq, lambda b, h, i, j: (b, h, j)),      # lse
+        spec3(bq, lambda b, h, i, j: (b, h, j)),      # di
+    ]
+    if has_segments:
+        dkv_specs += [spec_seg(bq, lambda b, h, i, j: (b, j)),
+                      spec_seg(bk, lambda b, h, i, j: (b, i))]
     dk, dv = pl.pallas_call(
         functools.partial(_dkv_kernel, scale=sm_scale, causal=causal,
                           block_q=bq, block_k=bk, q_len=q_len,
-                          use_exp2=use_exp2),
+                          use_exp2=use_exp2, **feat),
         out_shape=(jax.ShapeDtypeStruct((B, H, Skv_p, D), jnp.float32),
                    jax.ShapeDtypeStruct((B, H, Skv_p, D), jnp.float32)),
         grid=(B, H, cdiv(Skv_p, bk), cdiv(Sq_p, bq)),
-        in_specs=[
-            spec4(bq, lambda b, h, i, j: (b, h, j, 0)),   # q
-            spec4(bk, lambda b, h, i, j: (b, h, i, 0)),   # k
-            spec4(bk, lambda b, h, i, j: (b, h, i, 0)),   # v
-            spec4(bq, lambda b, h, i, j: (b, h, j, 0)),   # do
-            spec3(bq, lambda b, h, i, j: (b, h, j)),      # lse
-            spec3(bq, lambda b, h, i, j: (b, h, j)),      # di
-        ],
+        in_specs=dkv_specs,
         out_specs=(spec4(bk, lambda b, h, i, j: (b, h, i, 0)),
                    spec4(bk, lambda b, h, i, j: (b, h, i, 0))),
         compiler_params=pltpu.CompilerParams(
             dimension_semantics=("parallel", "parallel", "parallel",
                                  "arbitrary")),
         interpret=interp,
-    )(q, k, v, do, lse8, di8)
+    )(*dq_in)
 
     return (dq[:, :, :Sq].astype(q.dtype), dk[:, :, :Skv].astype(k.dtype),
             dv[:, :, :Skv].astype(v.dtype))
