@@ -276,3 +276,35 @@ def test_generate_sampled_restricted(setup):
         tok = out1[:, i]
         for b in range(B):
             assert int(tok[b]) in topk[b]
+
+
+def test_decode_matches_forward_window_softcap(setup):
+    """Featured serving chain (Config.window + Config.softcap): prefill
+    logits, a paged decode step, and a verify_step all match the featured
+    full-model forward — the sliding window and logit cap apply
+    consistently across the training and serving kernels."""
+    import dataclasses
+    params, prompt = setup
+    cfg = dataclasses.replace(CFG, window=32, softcap=20.0)
+    B, T = prompt.shape
+    cache = serving.init_cache(cfg, B, pages_per_seq=2, page_size=128,
+                               dtype=jnp.float32)
+    logits, cache = serving.prefill(params, cfg, prompt, cache)
+    ref = forward(params, prompt, cfg)[:, -1]
+    np.testing.assert_allclose(np.asarray(logits), np.asarray(ref),
+                               rtol=2e-3, atol=2e-3)
+
+    tok = jnp.argmax(logits, -1).astype(jnp.int32)
+    logits2, cache = serving.decode_step(params, cfg, tok, cache)
+    full = jnp.concatenate([prompt, tok[:, None]], axis=1)
+    ref2 = forward(params, full, cfg)[:, -1]
+    np.testing.assert_allclose(np.asarray(logits2), np.asarray(ref2),
+                               rtol=2e-3, atol=2e-3)
+
+    rng = np.random.default_rng(9)
+    cont = jnp.asarray(rng.integers(0, cfg.vocab, (B, 4)), jnp.int32)
+    vlog, _ = serving.verify_step(params, cfg, cont, cache)
+    full2 = jnp.concatenate([full, cont], axis=1)
+    ref3 = forward(params, full2, cfg)[:, -4:]
+    np.testing.assert_allclose(np.asarray(vlog), np.asarray(ref3),
+                               rtol=2e-3, atol=2e-3)

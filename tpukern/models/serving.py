@@ -230,7 +230,8 @@ def prefill(params, cfg: Config, tokens, cache: KVCache, last_index=None,
     for li, lp in enumerate(params["layers"]):
         hn = rms_norm(h.reshape(B * T, -1), lp["ln1"]).reshape(h.shape)
         q, k, v = _layer_qkv(hn, lp, cfg, positions)
-        o = flash_attention(q, k, v, causal=True)
+        o = flash_attention(q, k, v, causal=True, window=cfg.window,
+                            softcap=cfg.softcap)
         o = o.transpose(0, 2, 1, 3).reshape(B * T, -1) @ lp["wo"]
         if tp_axis is not None:  # wo is row-split: sum the partials
             o = jax.lax.psum(o, tp_axis)
@@ -285,12 +286,14 @@ def decode_step(params, cfg: Config, last_tokens, cache: KVCache,
             o = paged_attention_quantized(
                 q[:, :, 0], k_pages[li], k_scales[li], v_pages[li],
                 v_scales[li], cache.lengths + 1, cache.page_table,
-                pages_per_block=ppb,
+                pages_per_block=ppb, window=cfg.window,
+                softcap=cfg.softcap,
                 q_int8=k_pages.dtype == jnp.int8)
         else:
             o = paged_attention(q[:, :, 0], k_pages[li], v_pages[li],
                                 cache.lengths + 1, cache.page_table,
-                                pages_per_block=ppb)
+                                pages_per_block=ppb, window=cfg.window,
+                                softcap=cfg.softcap)
         o = o.reshape(B, -1) @ lp["wo"]
         if tp_axis is not None:
             o = jax.lax.psum(o, tp_axis)
@@ -335,11 +338,14 @@ def verify_step(params, cfg: Config, tokens, cache: KVCache,
             o = paged_prefill_attention_quantized(
                 q, k_pages[li], k_scales[li], v_pages[li], v_scales[li],
                 start + T, cache.page_table, pages_per_block=ppb,
+                window=cfg.window, softcap=cfg.softcap,
                 q_int8=k_pages.dtype == jnp.int8)
         else:
             o = paged_prefill_attention(q, k_pages[li], v_pages[li],
                                         start + T, cache.page_table,
-                                        pages_per_block=ppb)
+                                        pages_per_block=ppb,
+                                        window=cfg.window,
+                                        softcap=cfg.softcap)
         o = o.transpose(0, 2, 1, 3).reshape(B * T, -1) @ lp["wo"]
         if tp_axis is not None:
             o = jax.lax.psum(o, tp_axis)

@@ -62,6 +62,11 @@ class Config:
     # recompute intra-layer activations in the backward pass instead of
     # storing them — O(sqrt) activation memory for deep stacks
     remat: bool = False
+    # attention flavor knobs, trainable end-to-end (featured Pallas
+    # forward AND backward kernels): mistral-style sliding window and
+    # Gemma-style logit softcap
+    window: Any = None
+    softcap: Any = None
 
     @property
     def head_dim(self):
@@ -161,7 +166,8 @@ def _attn_block(h, lp, cfg: Config, tp_size: int, tp_axis, sp_axis=None):
     q = rope_t(q.reshape(B * hq * S, Dh), S).reshape(B, hq, S, Dh)
     k = rope_t(k.reshape(B * hkv * S, Dh), S).reshape(B, hkv, S, Dh)
 
-    o = flash_attention_trainable(q, k, v, True, None)
+    o = flash_attention_trainable(q, k, v, True, None,
+                                  cfg.window, cfg.softcap)
     o = o.transpose(0, 2, 1, 3).reshape(B * S, hq * Dh)
     o = matmul_t(o, lp["wo"])
     if tp_axis is not None:

@@ -36,7 +36,8 @@ NEG_BIG = -0.7 * 3.4e38
 
 def _decode_kernel(lengths_ref, tables_ref, *refs,
                    page_size, pages_per_block, mask_value,
-                   quantized=False, q_int8=False, sm_D=None, window=None):
+                   quantized=False, q_int8=False, sm_D=None, window=None,
+                   softcap=None):
     qs_ref = None
     if quantized and q_int8:
         (q_ref, k_hbm, v_hbm, ks_hbm, vs_hbm, qs_ref, o_ref, k_buf, v_buf,
@@ -155,6 +156,9 @@ def _decode_kernel(lengths_ref, tables_ref, *refs,
         if quantized:
             s = apply_row_scale(s, ks_buf[slot])
         s *= 1.0 / math.sqrt(sm_D if sm_D is not None else D)
+        if softcap is not None:
+            # Gemma-style logit cap, matching the training kernels
+            s = softcap * jnp.tanh(s * (1.0 / softcap))
         pos = blk * bk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         s = jnp.where(pos < length, s, mask_value)
         if window is not None:
@@ -192,7 +196,8 @@ def _decode_kernel(lengths_ref, tables_ref, *refs,
 
 
 def paged_attention(q, k_pages, v_pages, lengths, page_table,
-                    *, pages_per_block=4, window=None, interpret=None):
+                    *, pages_per_block=4, window=None, softcap=None,
+                    interpret=None):
     """Decode attention against a paged KV cache.
 
     q:          (B, Hq, D)           current-token queries
@@ -256,7 +261,7 @@ def paged_attention(q, k_pages, v_pages, lengths, page_table,
     kernel = functools.partial(
         _decode_kernel, page_size=page_size,
         pages_per_block=pages_per_block, mask_value=NEG_BIG,
-        window=window, sm_D=D)
+        window=window, softcap=softcap, sm_D=D)
 
     out = pl.pallas_call(
         kernel,
@@ -294,7 +299,8 @@ def quantize_pages(pages, dtype="int8"):
 
 def paged_attention_quantized(q, k_pages, k_scales, v_pages, v_scales,
                               lengths, page_table, *, pages_per_block=4,
-                              q_int8=False, interpret=None):
+                              q_int8=False, window=None, softcap=None,
+                              interpret=None):
     """Decode attention against a quantized paged KV cache: pages are
     1-byte values (int8 or float8_e4m3fn — half the DMA traffic of
     bf16), dequantized in VMEM with their per-token scales right after
@@ -364,7 +370,8 @@ def paged_attention_quantized(q, k_pages, k_scales, v_pages, v_scales,
     kernel = functools.partial(
         _decode_kernel, page_size=page_size,
         pages_per_block=pages_per_block, mask_value=NEG_BIG,
-        quantized=True, q_int8=q_int8, sm_D=D)
+        quantized=True, q_int8=q_int8, window=window, softcap=softcap,
+        sm_D=D)
 
     args = [lengths.astype(jnp.int32),
             page_table.reshape(-1).astype(jnp.int32),
@@ -385,7 +392,8 @@ def paged_attention_quantized(q, k_pages, k_scales, v_pages, v_scales,
 
 def _prefix_kernel(lengths_ref, tables_ref, *refs, page_size,
                    pages_per_block, mask_value, n_tok, sm_D,
-                   quantized=False, q_int8=False):
+                   quantized=False, q_int8=False, window=None,
+                   softcap=None):
     """Multi-token causal decode body: rows are (group, t) pairs flattened
     to group*n_tok; row (g, t) may see pages positions < lengths[b] - n_tok
     + t + 1 (its own token was already written into the pages).
@@ -483,11 +491,17 @@ def _prefix_kernel(lengths_ref, tables_ref, *refs, page_size,
         if quantized:
             s = apply_row_scale(s, ks_buf[slot])
         s *= 1.0 / math.sqrt(sm_D)
+        if softcap is not None:
+            s = softcap * jnp.tanh(s * (1.0 / softcap))
         pos = blk * bk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         # row r is query token t = r % n_tok; it sees positions
         # < length - n_tok + t + 1 (causal within the new tokens)
         t = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) % n_tok
         s = jnp.where(pos < length - n_tok + t + 1, s, mask_value)
+        if window is not None:
+            # sliding window relative to each query token's position
+            s = jnp.where(pos >= length - n_tok + t - window + 1, s,
+                          mask_value)
 
         m_prev = m_s[:, :1]
         l_prev = l_s[:, :1]
@@ -519,7 +533,8 @@ def _prefix_kernel(lengths_ref, tables_ref, *refs, page_size,
 
 
 def paged_prefill_attention(q, k_pages, v_pages, lengths, page_table,
-                            *, pages_per_block=4, interpret=None):
+                            *, pages_per_block=4, window=None,
+                            softcap=None, interpret=None):
     """Multi-token causal attention against a paged KV cache (the
     prefix-prefill / context-attention kernel, reference
     kernels/openai-triton/prefix_prefill.py adapted from vLLM — here the
@@ -581,7 +596,7 @@ def paged_prefill_attention(q, k_pages, v_pages, lengths, page_table,
     kernel = functools.partial(
         _prefix_kernel, page_size=page_size,
         pages_per_block=pages_per_block, mask_value=NEG_BIG,
-        n_tok=T, sm_D=D)
+        n_tok=T, window=window, softcap=softcap, sm_D=D)
 
     out = pl.pallas_call(
         kernel,
@@ -599,6 +614,7 @@ def paged_prefill_attention(q, k_pages, v_pages, lengths, page_table,
 def paged_prefill_attention_quantized(q, k_pages, k_scales, v_pages,
                                       v_scales, lengths, page_table, *,
                                       pages_per_block=4, q_int8=False,
+                                      window=None, softcap=None,
                                       interpret=None):
     """Multi-token causal attention against a QUANTIZED paged KV cache
     (1-byte pages + per-token scales, as paged_attention_quantized) —
@@ -662,7 +678,8 @@ def paged_prefill_attention_quantized(q, k_pages, k_scales, v_pages,
     kernel = functools.partial(
         _prefix_kernel, page_size=page_size,
         pages_per_block=pages_per_block, mask_value=NEG_BIG,
-        n_tok=T, sm_D=D, quantized=True, q_int8=q_int8)
+        n_tok=T, sm_D=D, quantized=True, q_int8=q_int8,
+        window=window, softcap=softcap)
 
     args = [lengths.astype(jnp.int32),
             page_table.reshape(-1).astype(jnp.int32),
