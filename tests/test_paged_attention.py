@@ -216,6 +216,93 @@ def test_paged_decode_int8_kv_mxu(rng):
                                rtol=3e-2, atol=3e-2)
 
 
+def test_paged_decode_alibi(rng):
+    """ALiBi decode (prefix_prefill_alibi analog): linear position bias
+    slope_h * (k_pos - q_pos) per q head, across a GQA group's rows."""
+    B, Hq, Hkv, D = 2, 8, 2, 64
+    page_size, pages_per_seq, P = 16, 8, 32
+    slopes = pa.default_alibi_slopes(Hq)
+    q = jnp.asarray(rng.standard_normal((B, Hq, D)), jnp.float32)
+    k_pages = jnp.asarray(rng.standard_normal((Hkv, P, page_size, D)),
+                          jnp.float32)
+    v_pages = jnp.asarray(rng.standard_normal((Hkv, P, page_size, D)),
+                          jnp.float32)
+    lengths = jnp.asarray([100, 37], jnp.int32)
+    table = jnp.asarray(
+        rng.permutation(P)[: B * pages_per_seq].reshape(B, pages_per_seq),
+        jnp.int32)
+    out = pa.paged_attention(q, k_pages, v_pages, lengths, table,
+                             pages_per_block=4, alibi_slopes=slopes)
+    ref = pa.paged_attention_ref(q, k_pages, v_pages, lengths, table,
+                                 alibi_slopes=slopes)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+    # bias must actually matter: the unbiased output differs
+    base = pa.paged_attention(q, k_pages, v_pages, lengths, table,
+                              pages_per_block=4)
+    assert np.abs(np.asarray(out) - np.asarray(base)).max() > 1e-3
+
+
+def test_paged_prefix_prefill_alibi(rng):
+    """ALiBi in the multi-token prefix-prefill kernel: per-(head, token)
+    bias relative to each query row's own position."""
+    B, Hq, Hkv, D, T = 2, 4, 2, 64, 8
+    page_size, pages_per_seq, P = 16, 8, 32
+    slopes = pa.default_alibi_slopes(Hq)
+    q = jnp.asarray(rng.standard_normal((B, Hq, T, D)), jnp.float32)
+    k_pages = jnp.asarray(rng.standard_normal((Hkv, P, page_size, D)),
+                          jnp.float32)
+    v_pages = jnp.asarray(rng.standard_normal((Hkv, P, page_size, D)),
+                          jnp.float32)
+    lengths = jnp.asarray([100, 37], jnp.int32)
+    table = jnp.asarray(
+        rng.permutation(P)[: B * pages_per_seq].reshape(B, pages_per_seq),
+        jnp.int32)
+    out = pa.paged_prefill_attention(q, k_pages, v_pages, lengths, table,
+                                     pages_per_block=2,
+                                     alibi_slopes=slopes)
+    ref = pa.paged_prefill_ref(q, k_pages, v_pages, lengths, table,
+                               alibi_slopes=slopes)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+    # T=1 degenerates to the decode kernel's alibi semantics
+    out1 = pa.paged_prefill_attention(
+        q[:, :, :1], k_pages, v_pages, lengths, table,
+        pages_per_block=2, alibi_slopes=slopes)[:, :, 0]
+    dec = pa.paged_attention(q[:, :, 0], k_pages, v_pages, lengths, table,
+                             pages_per_block=2, alibi_slopes=slopes)
+    np.testing.assert_allclose(np.asarray(out1), np.asarray(dec),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_paged_decode_alibi_int8_kv(rng):
+    """ALiBi composes with the quantized-page decode path."""
+    B, Hq, Hkv, D = 2, 4, 2, 64
+    page, P, pages_per_seq = 128, 16, 4
+    slopes = pa.default_alibi_slopes(Hq)
+    q = jnp.asarray(rng.standard_normal((B, Hq, D)), jnp.float32)
+    k_pages = jnp.asarray(rng.standard_normal((Hkv, P, page, D)),
+                          jnp.float32)
+    v_pages = jnp.asarray(rng.standard_normal((Hkv, P, page, D)),
+                          jnp.float32)
+    lengths = jnp.asarray([300, 450], jnp.int32)
+    table = jnp.asarray(
+        rng.permutation(P)[: B * pages_per_seq], jnp.int32
+    ).reshape(B, pages_per_seq)
+    kq, ks = pa.quantize_pages(k_pages)
+    vq, vs = pa.quantize_pages(v_pages)
+    ref = pa.paged_attention_ref(q, k_pages, v_pages, lengths, table,
+                                 alibi_slopes=slopes)
+    for q_int8, tol in ((False, 5e-2), (True, 6e-2)):
+        out = pa.paged_attention_quantized(
+            q.astype(jnp.bfloat16), kq, ks, vq, vs, lengths, table,
+            pages_per_block=2, q_int8=q_int8, alibi_slopes=slopes)
+        np.testing.assert_allclose(np.asarray(out, np.float64),
+                                   np.asarray(ref, np.float64),
+                                   rtol=tol, atol=tol)
+
+
 def test_paged_prefix_prefill_int8_kv(rng):
     """int8-quantized pages in the multi-token prefix-prefill kernel,
     cast-dequant and s8s8s32-MXU score paths — both within quantization

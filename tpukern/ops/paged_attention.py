@@ -37,7 +37,11 @@ NEG_BIG = -0.7 * 3.4e38
 def _decode_kernel(lengths_ref, tables_ref, *refs,
                    page_size, pages_per_block, mask_value,
                    quantized=False, q_int8=False, sm_D=None, window=None,
-                   softcap=None):
+                   softcap=None, has_alibi=False):
+    slopes_ref = None
+    if has_alibi:
+        # per-q-head ALiBi slopes, (Hq,) f32 in SMEM (first input)
+        slopes_ref, *refs = refs
     qs_ref = None
     if quantized and q_int8:
         (q_ref, k_hbm, v_hbm, ks_hbm, vs_hbm, qs_ref, o_ref, k_buf, v_buf,
@@ -160,6 +164,17 @@ def _decode_kernel(lengths_ref, tables_ref, *refs,
             # Gemma-style logit cap, matching the training kernels
             s = softcap * jnp.tanh(s * (1.0 / softcap))
         pos = blk * bk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        if has_alibi:
+            # ALiBi: s += slope_g * (k_pos - q_pos), q_pos = length - 1
+            # (reference kernels/openai-triton/prefix_prefill_alibi.py).
+            # Rows are the GQA group's q heads: build the per-row slope
+            # column from SMEM scalars via an unrolled one-hot sum.
+            rowi = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+            slope = jnp.zeros_like(s)
+            for g in range(group):
+                slope += jnp.where(rowi == g,
+                                   slopes_ref[h * group + g], 0.0)
+            s = s + slope * (pos - (length - 1)).astype(jnp.float32)
         s = jnp.where(pos < length, s, mask_value)
         if window is not None:
             s = jnp.where(pos >= length - window, s, mask_value)
@@ -197,7 +212,7 @@ def _decode_kernel(lengths_ref, tables_ref, *refs,
 
 def paged_attention(q, k_pages, v_pages, lengths, page_table,
                     *, pages_per_block=4, window=None, softcap=None,
-                    interpret=None):
+                    alibi_slopes=None, interpret=None):
     """Decode attention against a paged KV cache.
 
     q:          (B, Hq, D)           current-token queries
@@ -208,6 +223,8 @@ def paged_attention(q, k_pages, v_pages, lengths, page_table,
     window: only the last `window` live tokens are attended (sliding-
     window decode; whole page blocks older than the window are skipped,
     so decode DMA traffic is bounded by the window, not the history).
+    alibi_slopes: optional (Hq,) per-head ALiBi slopes (linear position
+    bias — the prefix_prefill_alibi analog for the decode step).
     Returns (B, Hq, D).
     """
     from tpukern.core import round_up
@@ -237,10 +254,15 @@ def paged_attention(q, k_pages, v_pages, lengths, page_table,
     if Dp != D:
         q4 = jnp.pad(q4, ((0, 0), (0, 0), (0, 0), (0, Dp - D)))
 
+    has_alibi = alibi_slopes is not None
+    if has_alibi:
+        assert softcap is None, "softcap + alibi ordering is ambiguous"
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,          # lengths, flat page table
         grid=(B, Hkv, n_blk),
-        in_specs=[
+        in_specs=([pl.BlockSpec(memory_space=pltpu.SMEM)]
+                  if has_alibi else []) + [
             pl.BlockSpec((1, 1, group, Dp), lambda b, h, i, *_: (b, h, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),   # K pages stay in HBM
@@ -261,7 +283,7 @@ def paged_attention(q, k_pages, v_pages, lengths, page_table,
     kernel = functools.partial(
         _decode_kernel, page_size=page_size,
         pages_per_block=pages_per_block, mask_value=NEG_BIG,
-        window=window, softcap=softcap, sm_D=D)
+        window=window, softcap=softcap, has_alibi=has_alibi, sm_D=D)
 
     out = pl.pallas_call(
         kernel,
@@ -271,6 +293,7 @@ def paged_attention(q, k_pages, v_pages, lengths, page_table,
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary")),
         interpret=use_interpret() if interpret is None else interpret,
     )(lengths.astype(jnp.int32), page_table.reshape(-1).astype(jnp.int32),
+      *([jnp.asarray(alibi_slopes, jnp.float32)] if has_alibi else []),
       q4, k_pages, v_pages)
     return out[..., :D].reshape(B, Hq, D)
 
@@ -300,7 +323,7 @@ def quantize_pages(pages, dtype="int8"):
 def paged_attention_quantized(q, k_pages, k_scales, v_pages, v_scales,
                               lengths, page_table, *, pages_per_block=4,
                               q_int8=False, window=None, softcap=None,
-                              interpret=None):
+                              alibi_slopes=None, interpret=None):
     """Decode attention against a quantized paged KV cache: pages are
     1-byte values (int8 or float8_e4m3fn — half the DMA traffic of
     bf16), dequantized in VMEM with their per-token scales right after
@@ -339,10 +362,15 @@ def paged_attention_quantized(q, k_pages, k_scales, v_pages, v_scales,
             qscale.reshape(B, Hkv, group)[..., None].astype(jnp.float32),
             (B, Hkv, group, 128))
 
+    has_alibi = alibi_slopes is not None
+    if has_alibi:
+        assert softcap is None, "softcap + alibi ordering is ambiguous"
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(B, Hkv, n_blk),
-        in_specs=[
+        in_specs=([pl.BlockSpec(memory_space=pltpu.SMEM)]
+                  if has_alibi else []) + [
             pl.BlockSpec((1, 1, group, Dp), lambda b, h, i, *_: (b, h, 0, 0),
                          memory_space=pltpu.VMEM),
             pl.BlockSpec(memory_space=pl.ANY),   # int8 K pages in HBM
@@ -371,12 +399,14 @@ def paged_attention_quantized(q, k_pages, k_scales, v_pages, v_scales,
         _decode_kernel, page_size=page_size,
         pages_per_block=pages_per_block, mask_value=NEG_BIG,
         quantized=True, q_int8=q_int8, window=window, softcap=softcap,
-        sm_D=D)
+        has_alibi=has_alibi, sm_D=D)
 
     args = [lengths.astype(jnp.int32),
-            page_table.reshape(-1).astype(jnp.int32),
-            q4, k_pages, v_pages, k_scales.astype(jnp.float32),
-            v_scales.astype(jnp.float32)]
+            page_table.reshape(-1).astype(jnp.int32)]
+    if has_alibi:
+        args.append(jnp.asarray(alibi_slopes, jnp.float32))
+    args += [q4, k_pages, v_pages, k_scales.astype(jnp.float32),
+             v_scales.astype(jnp.float32)]
     if q_int8:
         args.append(qs4)
     out = pl.pallas_call(
@@ -393,12 +423,15 @@ def paged_attention_quantized(q, k_pages, k_scales, v_pages, v_scales,
 def _prefix_kernel(lengths_ref, tables_ref, *refs, page_size,
                    pages_per_block, mask_value, n_tok, sm_D,
                    quantized=False, q_int8=False, window=None,
-                   softcap=None):
+                   softcap=None, has_alibi=False):
     """Multi-token causal decode body: rows are (group, t) pairs flattened
     to group*n_tok; row (g, t) may see pages positions < lengths[b] - n_tok
     + t + 1 (its own token was already written into the pages).
     quantized/q_int8 as in _decode_kernel (1-byte pages with per-token
     scales; optional s8s8s32 score dot)."""
+    slopes_ref = None
+    if has_alibi:
+        slopes_ref, *refs = refs
     qs_ref = None
     if quantized and q_int8:
         (q_ref, k_hbm, v_hbm, ks_hbm, vs_hbm, qs_ref, o_ref, k_buf, v_buf,
@@ -496,7 +529,19 @@ def _prefix_kernel(lengths_ref, tables_ref, *refs, page_size,
         pos = blk * bk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         # row r is query token t = r % n_tok; it sees positions
         # < length - n_tok + t + 1 (causal within the new tokens)
-        t = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) % n_tok
+        rowi = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
+        t = rowi % n_tok
+        if has_alibi:
+            # ALiBi: s += slope_g * (k_pos - q_pos); row r is q head
+            # g = r // n_tok at position length - n_tok + t (reference
+            # kernels/openai-triton/prefix_prefill_alibi.py)
+            group = rows // n_tok
+            slope = jnp.zeros_like(s)
+            for g in range(group):
+                slope += jnp.where(rowi // n_tok == g,
+                                   slopes_ref[h * group + g], 0.0)
+            s = s + slope * (pos - (length - n_tok + t)).astype(
+                jnp.float32)
         s = jnp.where(pos < length - n_tok + t + 1, s, mask_value)
         if window is not None:
             # sliding window relative to each query token's position
@@ -534,7 +579,8 @@ def _prefix_kernel(lengths_ref, tables_ref, *refs, page_size,
 
 def paged_prefill_attention(q, k_pages, v_pages, lengths, page_table,
                             *, pages_per_block=4, window=None,
-                            softcap=None, interpret=None):
+                            softcap=None, alibi_slopes=None,
+                            interpret=None):
     """Multi-token causal attention against a paged KV cache (the
     prefix-prefill / context-attention kernel, reference
     kernels/openai-triton/prefix_prefill.py adapted from vLLM — here the
@@ -570,10 +616,15 @@ def paged_prefill_attention(q, k_pages, v_pages, lengths, page_table,
     if Dp != D:
         q4 = jnp.pad(q4, ((0, 0), (0, 0), (0, 0), (0, Dp - D)))
 
+    has_alibi = alibi_slopes is not None
+    if has_alibi:
+        assert softcap is None, "softcap + alibi ordering is ambiguous"
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(B, Hkv, n_blk),
-        in_specs=[
+        in_specs=([pl.BlockSpec(memory_space=pltpu.SMEM)]
+                  if has_alibi else []) + [
             pl.BlockSpec((1, 1, group * T, Dp),
                          lambda b, h, i, *_: (b, h, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -596,7 +647,8 @@ def paged_prefill_attention(q, k_pages, v_pages, lengths, page_table,
     kernel = functools.partial(
         _prefix_kernel, page_size=page_size,
         pages_per_block=pages_per_block, mask_value=NEG_BIG,
-        n_tok=T, window=window, softcap=softcap, sm_D=D)
+        n_tok=T, window=window, softcap=softcap, has_alibi=has_alibi,
+        sm_D=D)
 
     out = pl.pallas_call(
         kernel,
@@ -606,6 +658,7 @@ def paged_prefill_attention(q, k_pages, v_pages, lengths, page_table,
             dimension_semantics=("arbitrary", "arbitrary", "arbitrary")),
         interpret=use_interpret() if interpret is None else interpret,
     )(lengths.astype(jnp.int32), page_table.reshape(-1).astype(jnp.int32),
+      *([jnp.asarray(alibi_slopes, jnp.float32)] if has_alibi else []),
       q4, k_pages, v_pages)
     out = out[..., :D]
     return out.reshape(B, Hkv, group, T, D).reshape(B, Hq, T, D)
@@ -615,7 +668,7 @@ def paged_prefill_attention_quantized(q, k_pages, k_scales, v_pages,
                                       v_scales, lengths, page_table, *,
                                       pages_per_block=4, q_int8=False,
                                       window=None, softcap=None,
-                                      interpret=None):
+                                      alibi_slopes=None, interpret=None):
     """Multi-token causal attention against a QUANTIZED paged KV cache
     (1-byte pages + per-token scales, as paged_attention_quantized) —
     the verification/chunked-prefill step of an int8/fp8-KV serving
@@ -646,10 +699,15 @@ def paged_prefill_attention_quantized(q, k_pages, k_scales, v_pages,
                 jnp.float32),
             (B, Hkv, group * T, 128))
 
+    has_alibi = alibi_slopes is not None
+    if has_alibi:
+        assert softcap is None, "softcap + alibi ordering is ambiguous"
+
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(B, Hkv, n_blk),
-        in_specs=[
+        in_specs=([pl.BlockSpec(memory_space=pltpu.SMEM)]
+                  if has_alibi else []) + [
             pl.BlockSpec((1, 1, group * T, Dp),
                          lambda b, h, i, *_: (b, h, 0, 0),
                          memory_space=pltpu.VMEM),
@@ -679,12 +737,14 @@ def paged_prefill_attention_quantized(q, k_pages, k_scales, v_pages,
         _prefix_kernel, page_size=page_size,
         pages_per_block=pages_per_block, mask_value=NEG_BIG,
         n_tok=T, sm_D=D, quantized=True, q_int8=q_int8,
-        window=window, softcap=softcap)
+        window=window, softcap=softcap, has_alibi=has_alibi)
 
     args = [lengths.astype(jnp.int32),
-            page_table.reshape(-1).astype(jnp.int32),
-            q4, k_pages, v_pages, k_scales.astype(jnp.float32),
-            v_scales.astype(jnp.float32)]
+            page_table.reshape(-1).astype(jnp.int32)]
+    if has_alibi:
+        args.append(jnp.asarray(alibi_slopes, jnp.float32))
+    args += [q4, k_pages, v_pages, k_scales.astype(jnp.float32),
+             v_scales.astype(jnp.float32)]
     if q_int8:
         args.append(qs4)
     out = pl.pallas_call(
@@ -699,7 +759,8 @@ def paged_prefill_attention_quantized(q, k_pages, k_scales, v_pages,
     return out.reshape(B, Hkv, group, T, D).reshape(B, Hq, T, D)
 
 
-def paged_prefill_ref(q, k_pages, v_pages, lengths, page_table):
+def paged_prefill_ref(q, k_pages, v_pages, lengths, page_table,
+                      alibi_slopes=None):
     """XLA gather reference for paged_prefill_attention."""
     B, Hq, T, D = q.shape
     k_pages, v_pages = k_pages[..., :D], v_pages[..., :D]
@@ -717,6 +778,10 @@ def paged_prefill_ref(q, k_pages, v_pages, lengths, page_table):
     pos = jnp.arange(S)[None, None, None, None, :]
     limit = (lengths[:, None, None, None, None] - T
              + jnp.arange(T)[None, None, None, :, None] + 1)
+    if alibi_slopes is not None:
+        slopes = jnp.asarray(alibi_slopes, jnp.float32).reshape(
+            1, Hkv, group, 1, 1)
+        s = s + slopes * (pos - (limit - 1))
     s = jnp.where(pos < limit, s, -jnp.inf)
     p = jax.nn.softmax(s, axis=-1)
     o = jnp.einsum("bhgtk,bhkd->bhgtd", p, v_seq.astype(jnp.float32),
@@ -742,7 +807,8 @@ register("paged_attention", "paged_prefix_prefill_int8kv_mxu",
     lambda *a, **kw: _paged_prefill_quantized(*a, q_int8=True, **kw))
 
 
-def paged_attention_ref(q, k_pages, v_pages, lengths, page_table):
+def paged_attention_ref(q, k_pages, v_pages, lengths, page_table,
+                        alibi_slopes=None):
     """XLA gather reference."""
     B, Hq, D = q.shape
     k_pages, v_pages = k_pages[..., :D], v_pages[..., :D]
@@ -760,6 +826,10 @@ def paged_attention_ref(q, k_pages, v_pages, lengths, page_table):
                    precision=jax.lax.Precision.HIGHEST)
     s *= 1.0 / math.sqrt(D)
     pos = jnp.arange(S)[None, None, None, :]
+    if alibi_slopes is not None:
+        slopes = jnp.asarray(alibi_slopes, jnp.float32).reshape(
+            1, Hkv, group, 1)
+        s = s + slopes * (pos - (lengths[:, None, None, None] - 1))
     s = jnp.where(pos < lengths[:, None, None, None], s, -jnp.inf)
     p = jax.nn.softmax(s, axis=-1)
     o = jnp.einsum("bhgk,bhkd->bhgd", p, v_seq.astype(jnp.float32),
@@ -780,6 +850,30 @@ def _paged_quantized(q, k, v, lengths, table, dtype="int8", **kw):
     vq, vs = quantize_pages(v, dtype)
     return paged_attention_quantized(
         q.astype(jnp.bfloat16), kq, ks, vq, vs, lengths, table, **kw)
+
+
+def default_alibi_slopes(n_heads):
+    """Standard ALiBi slope schedule: 2^(-8i/n), i = 1..n (Press et al.;
+    the schedule the reference's prefix_prefill_alibi harness uses)."""
+    return 2.0 ** (-8.0 * jnp.arange(1, n_heads + 1, dtype=jnp.float32)
+                   / n_heads)
+
+
+register("paged_attention", "paged_decode_alibi",
+         ref=lambda q, k, v, l, t: paged_attention_ref(
+             q, k, v, l, t,
+             alibi_slopes=default_alibi_slopes(q.shape[1])))(
+    lambda q, k, v, l, t, **kw: paged_attention(
+        q.astype(jnp.bfloat16), k.astype(jnp.bfloat16),
+        v.astype(jnp.bfloat16), l, t,
+        alibi_slopes=default_alibi_slopes(q.shape[1]), **kw))
+register("paged_attention", "paged_prefix_prefill_alibi",
+         ref=lambda q, k, v, l, t: paged_prefill_ref(
+             q, k, v, l, t,
+             alibi_slopes=default_alibi_slopes(q.shape[1])))(
+    lambda q, k, v, l, t, **kw: paged_prefill_attention(
+        q, k, v, l, t,
+        alibi_slopes=default_alibi_slopes(q.shape[1]), **kw))
 
 
 register("paged_attention", "paged_decode_int8kv",
