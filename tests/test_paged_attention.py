@@ -303,6 +303,121 @@ def test_paged_decode_alibi_int8_kv(rng):
                                    rtol=tol, atol=tol)
 
 
+def _fill_ring(k_full, ring_tokens, page_size, L):
+    """Lay the last tokens of an absolute (Hkv, L, D) stream into a ring
+    pool (Hkv, ring_pages, page, D): slot s holds the newest token with
+    position == s (mod ring_tokens)."""
+    Hkv, _, D = k_full.shape
+    pool = np.zeros((Hkv, ring_tokens // page_size, page_size, D),
+                    k_full.dtype)
+    for p in range(max(0, L - ring_tokens), L):
+        s = p % ring_tokens
+        pool[:, s // page_size, s % page_size] = k_full[:, p]
+    return pool
+
+
+def test_paged_decode_ring(rng):
+    """Rolling-buffer decode: a ring pool holding only the last
+    ring_tokens positions gives the same windowed output as a full-size
+    pool, after the sequence has wrapped several times."""
+    B, Hq, Hkv, D = 2, 4, 2, 64
+    page_size, W = 16, 40
+    ring_pages = 4                       # ring = 64 tokens >= W
+    L = np.array([150, 73])              # both well past one lap
+    full_pages_per_seq = 16              # 256 tokens, no wrap
+    q = jnp.asarray(rng.standard_normal((B, Hq, D)), jnp.float32)
+    k_full = rng.standard_normal((B, Hkv, 256, D)).astype(np.float32)
+    v_full = rng.standard_normal((B, Hkv, 256, D)).astype(np.float32)
+
+    ring_tokens = ring_pages * page_size
+    # pools are (Hkv, P, page, D) with P = B * ring_pages, seq b owning
+    # pages [b*rp, (b+1)*rp): stack over b on axis 1 then flatten
+    kr = np.stack([_fill_ring(k_full[b], ring_tokens, page_size, L[b])
+                   for b in range(B)], axis=1).reshape(
+        Hkv, B * ring_pages, page_size, D)
+    vr = np.stack([_fill_ring(v_full[b], ring_tokens, page_size, L[b])
+                   for b in range(B)], axis=1).reshape(
+        Hkv, B * ring_pages, page_size, D)
+    rtable = jnp.arange(B * ring_pages, dtype=jnp.int32).reshape(B, ring_pages)
+
+    kf = np.zeros((Hkv, B * full_pages_per_seq, page_size, D), np.float32)
+    vf = np.zeros_like(kf)
+    for b in range(B):
+        kf[:, b * full_pages_per_seq:(b + 1) * full_pages_per_seq] = (
+            k_full[b].reshape(Hkv, full_pages_per_seq, page_size, D))
+        vf[:, b * full_pages_per_seq:(b + 1) * full_pages_per_seq] = (
+            v_full[b].reshape(Hkv, full_pages_per_seq, page_size, D))
+    ftable = jnp.arange(B * full_pages_per_seq, dtype=jnp.int32).reshape(
+        B, full_pages_per_seq)
+
+    lengths = jnp.asarray(L, jnp.int32)
+    out_ring = pa.paged_attention(q, jnp.asarray(kr), jnp.asarray(vr),
+                                  lengths, rtable, pages_per_block=2,
+                                  window=W, ring=True)
+    out_full = pa.paged_attention(q, jnp.asarray(kf), jnp.asarray(vf),
+                                  lengths, ftable, pages_per_block=2,
+                                  window=W)
+    np.testing.assert_allclose(np.asarray(out_ring), np.asarray(out_full),
+                               rtol=1e-4, atol=1e-4)
+
+    # first-lap case (L < ring): unwritten slots must mask away
+    lengths2 = jnp.asarray([30, 12], jnp.int32)
+    kr2 = np.stack([_fill_ring(k_full[b], ring_tokens, page_size,
+                               int(lengths2[b])) for b in range(B)], 1
+                    ).reshape(Hkv, B * ring_pages, page_size, D)
+    vr2 = np.stack([_fill_ring(v_full[b], ring_tokens, page_size,
+                               int(lengths2[b])) for b in range(B)], 1
+                    ).reshape(Hkv, B * ring_pages, page_size, D)
+    out_ring2 = pa.paged_attention(q, jnp.asarray(kr2), jnp.asarray(vr2),
+                                   lengths2, rtable, pages_per_block=2,
+                                   window=W, ring=True)
+    out_full2 = pa.paged_attention(q, jnp.asarray(kf), jnp.asarray(vf),
+                                   lengths2, ftable, pages_per_block=2,
+                                   window=W)
+    np.testing.assert_allclose(np.asarray(out_ring2),
+                               np.asarray(out_full2),
+                               rtol=1e-4, atol=1e-4)
+
+
+def test_paged_prefix_prefill_ring(rng):
+    """Rolling-buffer prefix-prefill (the speculative-verify step over a
+    ring cache) matches the full-pool windowed kernel."""
+    B, Hq, Hkv, D, T = 2, 4, 2, 64, 4
+    page_size, W = 16, 40
+    ring_pages, full_pps = 4, 16
+    L = np.array([150, 73])              # includes the T chunk tokens
+    q = jnp.asarray(rng.standard_normal((B, Hq, T, D)), jnp.float32)
+    k_full = rng.standard_normal((B, Hkv, 256, D)).astype(np.float32)
+    v_full = rng.standard_normal((B, Hkv, 256, D)).astype(np.float32)
+
+    ring_tokens = ring_pages * page_size
+    kr = np.stack([_fill_ring(k_full[b], ring_tokens, page_size, L[b])
+                   for b in range(B)], 1).reshape(
+        Hkv, B * ring_pages, page_size, D)
+    vr = np.stack([_fill_ring(v_full[b], ring_tokens, page_size, L[b])
+                   for b in range(B)], 1).reshape(
+        Hkv, B * ring_pages, page_size, D)
+    rtable = jnp.arange(B * ring_pages, dtype=jnp.int32).reshape(B, ring_pages)
+    kf = np.zeros((Hkv, B * full_pps, page_size, D), np.float32)
+    vf = np.zeros_like(kf)
+    for b in range(B):
+        kf[:, b * full_pps:(b + 1) * full_pps] = k_full[b].reshape(
+            Hkv, full_pps, page_size, D)
+        vf[:, b * full_pps:(b + 1) * full_pps] = v_full[b].reshape(
+            Hkv, full_pps, page_size, D)
+    ftable = jnp.arange(B * full_pps, dtype=jnp.int32).reshape(B, full_pps)
+
+    lengths = jnp.asarray(L, jnp.int32)
+    out_ring = pa.paged_prefill_attention(
+        q, jnp.asarray(kr), jnp.asarray(vr), lengths, rtable,
+        pages_per_block=2, window=W, ring=True)
+    out_full = pa.paged_prefill_attention(
+        q, jnp.asarray(kf), jnp.asarray(vf), lengths, ftable,
+        pages_per_block=2, window=W)
+    np.testing.assert_allclose(np.asarray(out_ring), np.asarray(out_full),
+                               rtol=1e-4, atol=1e-4)
+
+
 def test_paged_prefix_prefill_int8_kv(rng):
     """int8-quantized pages in the multi-token prefix-prefill kernel,
     cast-dequant and s8s8s32-MXU score paths — both within quantization

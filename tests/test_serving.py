@@ -308,3 +308,42 @@ def test_decode_matches_forward_window_softcap(setup):
     ref3 = forward(params, full2, cfg)[:, -4:]
     np.testing.assert_allclose(np.asarray(vlog), np.asarray(ref3),
                                rtol=2e-3, atol=2e-3)
+
+
+def test_ring_cache_matches_full_cache(setup):
+    """Rolling-buffer (ring=True) sliding-window serving: a 64-token ring
+    pool produces the same decode logits and verify logits as a 256-token
+    full pool, even after the sequence wraps the ring multiple times —
+    HBM bounded by the window, not the history."""
+    import dataclasses
+    params, prompt = setup
+    cfg = dataclasses.replace(CFG, window=32)
+    B, T = prompt.shape
+    rng = np.random.default_rng(11)
+
+    ring = serving.init_cache(cfg, B, pages_per_seq=4, page_size=16,
+                              dtype=jnp.float32, ring=True)
+    assert ring.ring and ring.ring_tokens == 64
+    full = serving.init_cache(cfg, B, pages_per_seq=16, page_size=16,
+                              dtype=jnp.float32)
+
+    lr, ring = serving.prefill(params, cfg, prompt, ring)
+    lf, full = serving.prefill(params, cfg, prompt, full)
+    np.testing.assert_allclose(np.asarray(lr), np.asarray(lf),
+                               rtol=2e-3, atol=2e-3)
+
+    # decode far enough to wrap the 64-token ring (48 + 40 = 88 tokens)
+    for i in range(40):
+        tok = jnp.asarray(rng.integers(0, cfg.vocab, (B,)), jnp.int32)
+        lr, ring = serving.decode_step(params, cfg, tok, ring)
+        lf, full = serving.decode_step(params, cfg, tok, full)
+        np.testing.assert_allclose(np.asarray(lr), np.asarray(lf),
+                                   rtol=2e-3, atol=2e-3)
+    assert int(ring.lengths[0]) == T + 40  # lengths stay absolute
+
+    # speculative verify over the wrapped ring
+    cont = jnp.asarray(rng.integers(0, cfg.vocab, (B, 4)), jnp.int32)
+    vr, _ = serving.verify_step(params, cfg, cont, ring)
+    vf, _ = serving.verify_step(params, cfg, cont, full)
+    np.testing.assert_allclose(np.asarray(vr), np.asarray(vf),
+                               rtol=2e-3, atol=2e-3)

@@ -136,13 +136,13 @@ class ContinuousBatcher:
                 cache.k_pages, cache.v_pages,
                 jax.lax.dynamic_slice_in_dim(cache.page_table, slot, 1),
                 jnp.zeros((1,), jnp.int32),
-                cache.k_scales, cache.v_scales)
+                cache.k_scales, cache.v_scales, ring=cache.ring)
             logits, view = prefill(params, cfg, tokens, view,
                                    last_index=true_len[None] - 1)
             lengths = cache.lengths.at[slot].set(true_len)
             return logits[0], KVCache(view.k_pages, view.v_pages,
                                       cache.page_table, lengths,
-                                      view.k_scales, view.v_scales)
+                                      view.k_scales, view.v_scales, ring=cache.ring)
 
         self._prefill[key] = jax.jit(fn)
         return self._prefill[key]
@@ -163,12 +163,12 @@ class ContinuousBatcher:
                 cache.k_pages, cache.v_pages,
                 jax.lax.dynamic_slice_in_dim(cache.page_table, slot, 1),
                 start[None],
-                cache.k_scales, cache.v_scales)
+                cache.k_scales, cache.v_scales, ring=cache.ring)
             logits, view = verify_step(params, cfg, tokens, view)
             lengths = cache.lengths.at[slot].set(start + true_n)
             new_cache = KVCache(view.k_pages, view.v_pages,
                                 cache.page_table, lengths,
-                                view.k_scales, view.v_scales)
+                                view.k_scales, view.v_scales, ring=cache.ring)
             return logits[0, true_n - 1], new_cache
 
         self._chunk_fn = jax.jit(fn)
@@ -514,14 +514,14 @@ class TPContinuousBatcher(ContinuousBatcher):
                 cache.k_pages, cache.v_pages,
                 jax.lax.dynamic_slice_in_dim(cache.page_table, slot, 1),
                 jnp.zeros((1,), jnp.int32),
-                cache.k_scales, cache.v_scales)
+                cache.k_scales, cache.v_scales, ring=cache.ring)
             logits, view = prefill(params, lcfg, tokens, view,
                                    last_index=true_len[None] - 1,
                                    tp_axis="tp")
             lengths = cache.lengths.at[slot].set(true_len)
             return logits[0], KVCache(view.k_pages, view.v_pages,
                                       cache.page_table, lengths,
-                                      view.k_scales, view.v_scales)
+                                      view.k_scales, view.v_scales, ring=cache.ring)
 
         self._prefill[bucket] = jax.jit(shard_map(
             fn, mesh=self.mesh,
@@ -546,13 +546,13 @@ class TPContinuousBatcher(ContinuousBatcher):
                 cache.k_pages, cache.v_pages,
                 jax.lax.dynamic_slice_in_dim(cache.page_table, slot, 1),
                 start[None],
-                cache.k_scales, cache.v_scales)
+                cache.k_scales, cache.v_scales, ring=cache.ring)
             logits, view = verify_step(params, lcfg, tokens, view,
                                        tp_axis="tp")
             lengths = cache.lengths.at[slot].set(start + true_n)
             new_cache = KVCache(view.k_pages, view.v_pages,
                                 cache.page_table, lengths,
-                                view.k_scales, view.v_scales)
+                                view.k_scales, view.v_scales, ring=cache.ring)
             return logits[0, true_n - 1], new_cache
 
         self._chunk_fn = jax.jit(shard_map(

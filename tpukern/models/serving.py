@@ -39,10 +39,20 @@ class KVCache:
     # see BENCH_NOTES)
     k_scales: Any = None
     v_scales: Any = None
+    # rolling-buffer (Mistral-style) sliding-window cache: token at
+    # absolute position p lives in page slot p mod ring_tokens, so HBM
+    # is bounded by the window, not the history (static: selects the
+    # wrapped write path and the kernels' slot->position recovery)
+    ring: bool = dataclasses.field(default=False,
+                                   metadata=dict(static=True))
 
     @property
     def page_size(self):
         return self.k_pages.shape[3]
+
+    @property
+    def ring_tokens(self):
+        return self.page_table.shape[1] * self.page_size
 
     @property
     def quantized(self):
@@ -50,7 +60,7 @@ class KVCache:
 
 
 def init_cache(cfg: Config, batch, pages_per_seq, page_size=128,
-               dtype=jnp.bfloat16):
+               dtype=jnp.bfloat16, ring=False):
     """Fixed page pool; sequence b owns physical pages
     [b*pages_per_seq, (b+1)*pages_per_seq) — the identity mapping a real
     allocator would replace (the kernel only sees the table).
@@ -60,10 +70,21 @@ def init_cache(cfg: Config, batch, pages_per_seq, page_size=128,
     write tokens row-quantized and attend with the quantized paged
     kernels. int8 additionally gets the s8s8s32 MXU score path; fp8 is
     a storage-only tier on v5e (casts are software-expanded,
-    BENCH_NOTES) aimed at hardware with native fp8 ALUs."""
+    BENCH_NOTES) aimed at hardware with native fp8 ALUs.
+
+    ring=True (requires cfg.window) makes the pool a rolling buffer:
+    writes wrap at pages_per_seq * page_size tokens and the paged
+    kernels recover absolute positions from the slot index, so a
+    sequence can generate past the pool size with HBM bounded by the
+    window. Size the pool >= window + the longest verify/chunk T."""
     from tpukern.core import round_up
     Hkv, D = cfg.n_kv_heads, cfg.head_dim
     P = batch * pages_per_seq
+    if ring:
+        assert cfg.window is not None, "ring cache requires cfg.window"
+        assert cfg.window <= pages_per_seq * page_size, (
+            f"ring capacity {pages_per_seq * page_size} < window "
+            f"{cfg.window}")
     # head dim padded to the 128-lane tile: Mosaic requires page slices
     # lane-aligned in HBM (pad columns are zero and sliced off by the
     # kernels; _write_tokens writes D columns at offset 0)
@@ -78,6 +99,7 @@ def init_cache(cfg: Config, batch, pages_per_seq, page_size=128,
         lengths=jnp.zeros((batch,), jnp.int32),
         k_scales=jnp.zeros(shape[:4], jnp.float32) if quant else None,
         v_scales=jnp.zeros(shape[:4], jnp.float32) if quant else None,
+        ring=ring,
     )
 
 
@@ -99,9 +121,10 @@ def _pages_per_block(pages_per_seq, max_live_pages=None):
     return cands[0]
 
 
-def _write_tokens(pages, layer, new, table, start):
+def _write_tokens(pages, layer, new, table, start, ring=False):
     """Scatter new (B, Hkv, T, D) tokens into the page pool at positions
-    start[b] .. start[b]+T-1 of each sequence."""
+    start[b] .. start[b]+T-1 of each sequence (mod the pool size for a
+    ring cache)."""
     B, Hkv, T, D = new.shape
     page_size = pages.shape[3]
 
@@ -113,8 +136,12 @@ def _write_tokens(pages, layer, new, table, start):
             # clamp so a full sequence can't index past its page range
             # (an inactive slot's write lands un-clamped at its current
             # length — safe only because that position is always
-            # overwritten before the slot's length ever reaches it)
-            pos = jnp.minimum(start_b + t, max_pos)
+            # overwritten before the slot's length ever reaches it);
+            # a ring cache wraps instead of clamping
+            if ring:
+                pos = jnp.remainder(start_b + t, max_pos + 1)
+            else:
+                pos = jnp.minimum(start_b + t, max_pos)
             phys = table_b[pos // page_size]
             pages = jax.lax.dynamic_update_slice(
                 pages,
@@ -129,7 +156,8 @@ def _write_tokens(pages, layer, new, table, start):
     return pages
 
 
-def _write_tokens_quantized(pages, scales, layer, new, table, start):
+def _write_tokens_quantized(pages, scales, layer, new, table, start,
+                            ring=False):
     """Row-quantize new (B, Hkv, T, D) tokens to the pool's 1-byte dtype
     (int8 or fp8-e4m3) and scatter values + per-token scales into the
     quantized pool (same indexing discipline as _write_tokens)."""
@@ -146,7 +174,10 @@ def _write_tokens_quantized(pages, scales, layer, new, table, start):
     def per_seq(carry, new_b, s_b, table_b, start_b):
         def per_tok(carry, t):
             pages, scales = carry
-            pos = jnp.minimum(start_b + t, max_pos)
+            if ring:
+                pos = jnp.remainder(start_b + t, max_pos + 1)
+            else:
+                pos = jnp.minimum(start_b + t, max_pos)
             phys = table_b[pos // page_size]
             pages = jax.lax.dynamic_update_slice(
                 pages, new_b[:, t][None, :, None, None, :],
@@ -170,12 +201,16 @@ def _write_kv(cache, k_pages, v_pages, k_scales, v_scales, layer, k, v,
     passthrough or int8 row-quantized)."""
     if cache.quantized:
         k_pages, k_scales = _write_tokens_quantized(
-            k_pages, k_scales, layer, k, cache.page_table, start)
+            k_pages, k_scales, layer, k, cache.page_table, start,
+            ring=cache.ring)
         v_pages, v_scales = _write_tokens_quantized(
-            v_pages, v_scales, layer, v, cache.page_table, start)
+            v_pages, v_scales, layer, v, cache.page_table, start,
+            ring=cache.ring)
     else:
-        k_pages = _write_tokens(k_pages, layer, k, cache.page_table, start)
-        v_pages = _write_tokens(v_pages, layer, v, cache.page_table, start)
+        k_pages = _write_tokens(k_pages, layer, k, cache.page_table,
+                                start, ring=cache.ring)
+        v_pages = _write_tokens(v_pages, layer, v, cache.page_table,
+                                start, ring=cache.ring)
     return k_pages, v_pages, k_scales, v_scales
 
 
@@ -251,8 +286,10 @@ def prefill(params, cfg: Config, tokens, cache: KVCache, last_index=None,
     hn = rms_norm(h_last, params["lnf"])
     logits = (hn @ params["head"]).astype(jnp.float32)
     n_new = T if last_index is None else last_index + 1
-    new_cache = KVCache(k_pages, v_pages, cache.page_table,
-                        cache.lengths + n_new, k_scales, v_scales)
+    new_cache = dataclasses.replace(
+        cache, k_pages=k_pages, v_pages=v_pages,
+        lengths=cache.lengths + n_new, k_scales=k_scales,
+        v_scales=v_scales)
     return logits, new_cache
 
 
@@ -287,13 +324,13 @@ def decode_step(params, cfg: Config, last_tokens, cache: KVCache,
                 q[:, :, 0], k_pages[li], k_scales[li], v_pages[li],
                 v_scales[li], cache.lengths + 1, cache.page_table,
                 pages_per_block=ppb, window=cfg.window,
-                softcap=cfg.softcap,
+                softcap=cfg.softcap, ring=cache.ring,
                 q_int8=k_pages.dtype == jnp.int8)
         else:
             o = paged_attention(q[:, :, 0], k_pages[li], v_pages[li],
                                 cache.lengths + 1, cache.page_table,
                                 pages_per_block=ppb, window=cfg.window,
-                                softcap=cfg.softcap)
+                                softcap=cfg.softcap, ring=cache.ring)
         o = o.reshape(B, -1) @ lp["wo"]
         if tp_axis is not None:
             o = jax.lax.psum(o, tp_axis)
@@ -306,8 +343,10 @@ def decode_step(params, cfg: Config, last_tokens, cache: KVCache,
     hn = rms_norm(h[:, 0], params["lnf"])
     logits = (hn @ params["head"]).astype(jnp.float32)
     adv = 1 if active is None else active.astype(jnp.int32)
-    new_cache = KVCache(k_pages, v_pages, cache.page_table,
-                        cache.lengths + adv, k_scales, v_scales)
+    new_cache = dataclasses.replace(
+        cache, k_pages=k_pages, v_pages=v_pages,
+        lengths=cache.lengths + adv, k_scales=k_scales,
+        v_scales=v_scales)
     return logits, new_cache
 
 
@@ -338,14 +377,15 @@ def verify_step(params, cfg: Config, tokens, cache: KVCache,
             o = paged_prefill_attention_quantized(
                 q, k_pages[li], k_scales[li], v_pages[li], v_scales[li],
                 start + T, cache.page_table, pages_per_block=ppb,
-                window=cfg.window, softcap=cfg.softcap,
+                window=cfg.window, softcap=cfg.softcap, ring=cache.ring,
                 q_int8=k_pages.dtype == jnp.int8)
         else:
             o = paged_prefill_attention(q, k_pages[li], v_pages[li],
                                         start + T, cache.page_table,
                                         pages_per_block=ppb,
                                         window=cfg.window,
-                                        softcap=cfg.softcap)
+                                        softcap=cfg.softcap,
+                                        ring=cache.ring)
         o = o.transpose(0, 2, 1, 3).reshape(B * T, -1) @ lp["wo"]
         if tp_axis is not None:
             o = jax.lax.psum(o, tp_axis)
@@ -357,31 +397,39 @@ def verify_step(params, cfg: Config, tokens, cache: KVCache,
         h = h + mlp.reshape(h.shape)
     hn = rms_norm(h.reshape(B * T, -1), params["lnf"])
     logits = (hn @ params["head"]).astype(jnp.float32).reshape(B, T, -1)
-    new_cache = KVCache(k_pages, v_pages, cache.page_table,
-                        cache.lengths + T, k_scales, v_scales)
+    new_cache = dataclasses.replace(
+        cache, k_pages=k_pages, v_pages=v_pages,
+        lengths=cache.lengths + T, k_scales=k_scales,
+        v_scales=v_scales)
     return logits, new_cache
 
 
 def rollback(cache: KVCache, new_lengths):
     """Functional cache rewind: positions beyond new_lengths become dead
     (they're overwritten before ever being read — the kernels mask
-    pos >= length)."""
-    return KVCache(cache.k_pages, cache.v_pages, cache.page_table,
-                   jnp.asarray(new_lengths, jnp.int32),
-                   cache.k_scales, cache.v_scales)
+    pos >= length).
+
+    Ring caches: a rewound token's slot may have clobbered the token one
+    lap older; that older position re-enters reads only if it is still
+    inside the window, which cannot happen when ring_tokens >= window +
+    max speculation depth (the init_cache sizing rule) — under that
+    rule rollback is exact for ring pools too."""
+    return dataclasses.replace(
+        cache, lengths=jnp.asarray(new_lengths, jnp.int32))
 
 
 def generate(params, cfg: Config, prompt, n_steps, pages_per_seq=8,
              page_size=128, greedy=True, key=None,
              temperature=1.0, top_k=0, top_p=1.0, min_p=0.0,
-             cache_dtype=jnp.bfloat16):
+             cache_dtype=jnp.bfloat16, ring=False):
     """Prefill the prompt then decode n_steps tokens (greedy or sampled).
     Returns (B, n_steps) generated token ids. cache_dtype=jnp.int8
     serves from the quantized KV tier. With any of top_k/top_p/min_p (or
     temperature != 1) the sampled path runs the fused gumbel-max kernel
     (ops/sampling.py) restricted to that support."""
     B, T = prompt.shape
-    cache = init_cache(cfg, B, pages_per_seq, page_size, dtype=cache_dtype)
+    cache = init_cache(cfg, B, pages_per_seq, page_size,
+                       dtype=cache_dtype, ring=ring)
     logits, cache = prefill(params, cfg, prompt, cache)
     outs = []
     restricted = top_k or top_p < 1.0 or min_p > 0.0 or temperature != 1.0
@@ -418,15 +466,18 @@ def tp_local_cfg(cfg: Config, tp):
         d_model=cfg.head_dim * (cfg.n_heads // tp))
 
 
-def tp_cache_spec(quantized):
-    """PartitionSpec pytree for a KVCache sharded over kv heads."""
+def tp_cache_spec(quantized, ring=False):
+    """PartitionSpec pytree for a KVCache sharded over kv heads (ring
+    must match the cache's static ring flag — it is part of the
+    treedef)."""
     from jax.sharding import PartitionSpec as P
     sc = P(None, "tp") if quantized else None
-    return KVCache(P(None, "tp"), P(None, "tp"), P(), P(), sc, sc)
+    return KVCache(P(None, "tp"), P(None, "tp"), P(), P(), sc, sc,
+                   ring=ring)
 
 
 def make_tp_serving(cfg: Config, mesh, quantized=False,
-                    pages_per_block=None):
+                    pages_per_block=None, ring=False):
     """Tensor-parallel serving: shard_mapped (prefill, decode, verify)
     over the mesh's "tp" axis.
 
@@ -453,7 +504,7 @@ def make_tp_serving(cfg: Config, mesh, quantized=False,
     tp = mesh.shape["tp"]
     lcfg = tp_local_cfg(cfg, tp)
     p_specs = param_specs(cfg)
-    cache_spec = tp_cache_spec(quantized)
+    cache_spec = tp_cache_spec(quantized, ring=ring)
 
     def _prefill(params, tokens, cache, last_index):
         return prefill(params, lcfg, tokens, cache,

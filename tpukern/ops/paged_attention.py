@@ -37,7 +37,7 @@ NEG_BIG = -0.7 * 3.4e38
 def _decode_kernel(lengths_ref, tables_ref, *refs,
                    page_size, pages_per_block, mask_value,
                    quantized=False, q_int8=False, sm_D=None, window=None,
-                   softcap=None, has_alibi=False):
+                   softcap=None, has_alibi=False, ring=None):
     slopes_ref = None
     if has_alibi:
         # per-q-head ALiBi slopes, (Hq,) f32 in SMEM (first input)
@@ -69,9 +69,10 @@ def _decode_kernel(lengths_ref, tables_ref, *refs,
 
     def valid(t):
         v = t * bk < length
-        if window is not None:
+        if window is not None and ring is None:
             # sliding window: blocks entirely older than the window skip
-            # both their DMA and their compute
+            # both their DMA and their compute (with a ring buffer every
+            # live slot is inside the window by construction)
             v = jnp.logical_and(v, (t + 1) * bk - 1 >= length - window)
         return v
 
@@ -164,6 +165,12 @@ def _decode_kernel(lengths_ref, tables_ref, *refs,
             # Gemma-style logit cap, matching the training kernels
             s = softcap * jnp.tanh(s * (1.0 / softcap))
         pos = blk * bk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        if ring is not None:
+            # rolling-buffer cache: slot s holds the newest token with
+            # absolute position == s (mod ring); recover it as the
+            # largest p <= length-1 with p == s (mod ring). Slots never
+            # written (first lap) come out negative and mask away.
+            pos = (length - 1) - jnp.remainder(length - 1 - pos, ring)
         if has_alibi:
             # ALiBi: s += slope_g * (k_pos - q_pos), q_pos = length - 1
             # (reference kernels/openai-triton/prefix_prefill_alibi.py).
@@ -175,7 +182,8 @@ def _decode_kernel(lengths_ref, tables_ref, *refs,
                 slope += jnp.where(rowi == g,
                                    slopes_ref[h * group + g], 0.0)
             s = s + slope * (pos - (length - 1)).astype(jnp.float32)
-        s = jnp.where(pos < length, s, mask_value)
+        s = jnp.where(jnp.logical_and(pos >= 0, pos < length), s,
+                      mask_value)
         if window is not None:
             s = jnp.where(pos >= length - window, s, mask_value)
 
@@ -212,7 +220,7 @@ def _decode_kernel(lengths_ref, tables_ref, *refs,
 
 def paged_attention(q, k_pages, v_pages, lengths, page_table,
                     *, pages_per_block=4, window=None, softcap=None,
-                    alibi_slopes=None, interpret=None):
+                    alibi_slopes=None, ring=False, interpret=None):
     """Decode attention against a paged KV cache.
 
     q:          (B, Hq, D)           current-token queries
@@ -225,6 +233,11 @@ def paged_attention(q, k_pages, v_pages, lengths, page_table,
     so decode DMA traffic is bounded by the window, not the history).
     alibi_slopes: optional (Hq,) per-head ALiBi slopes (linear position
     bias — the prefix_prefill_alibi analog for the decode step).
+    ring: the page pool is a rolling buffer (Mistral-style): token at
+    absolute position p lives in slot p mod (pages_per_seq * page_size),
+    so cache memory is bounded by the window, not the history. Requires
+    window <= pages_per_seq * page_size; lengths keep counting absolute
+    tokens.
     Returns (B, Hq, D).
     """
     from tpukern.core import round_up
@@ -235,6 +248,11 @@ def paged_attention(q, k_pages, v_pages, lengths, page_table,
     group = Hq // Hkv
     assert pages_per_seq % pages_per_block == 0
     assert window is None or window >= 1, f"window must be >= 1: {window}"
+    ring_tokens = pages_per_seq * page_size if ring else None
+    if ring:
+        assert window is not None and window <= ring_tokens, (
+            f"ring cache needs window <= ring capacity: {window} vs "
+            f"{ring_tokens}")
     n_blk = pages_per_seq // pages_per_block
     bk = page_size * pages_per_block
 
@@ -283,7 +301,8 @@ def paged_attention(q, k_pages, v_pages, lengths, page_table,
     kernel = functools.partial(
         _decode_kernel, page_size=page_size,
         pages_per_block=pages_per_block, mask_value=NEG_BIG,
-        window=window, softcap=softcap, has_alibi=has_alibi, sm_D=D)
+        window=window, softcap=softcap, has_alibi=has_alibi,
+        ring=ring_tokens, sm_D=D)
 
     out = pl.pallas_call(
         kernel,
@@ -323,7 +342,8 @@ def quantize_pages(pages, dtype="int8"):
 def paged_attention_quantized(q, k_pages, k_scales, v_pages, v_scales,
                               lengths, page_table, *, pages_per_block=4,
                               q_int8=False, window=None, softcap=None,
-                              alibi_slopes=None, interpret=None):
+                              alibi_slopes=None, ring=False,
+                              interpret=None):
     """Decode attention against a quantized paged KV cache: pages are
     1-byte values (int8 or float8_e4m3fn — half the DMA traffic of
     bf16), dequantized in VMEM with their per-token scales right after
@@ -349,6 +369,11 @@ def paged_attention_quantized(q, k_pages, k_scales, v_pages, v_scales,
     n_blk = pages_per_seq // pages_per_block
     if q_int8:
         assert k_pages.dtype == jnp.int8, "q_int8 needs int8 K pages"
+    ring_tokens = pages_per_seq * page_size if ring else None
+    if ring:
+        assert window is not None and window <= ring_tokens, (
+            f"ring cache needs window <= ring capacity: {window} vs "
+            f"{ring_tokens}")
 
     q4 = q.reshape(B, Hkv, group, D)
     if Dp != D:
@@ -399,7 +424,7 @@ def paged_attention_quantized(q, k_pages, k_scales, v_pages, v_scales,
         _decode_kernel, page_size=page_size,
         pages_per_block=pages_per_block, mask_value=NEG_BIG,
         quantized=True, q_int8=q_int8, window=window, softcap=softcap,
-        has_alibi=has_alibi, sm_D=D)
+        has_alibi=has_alibi, ring=ring_tokens, sm_D=D)
 
     args = [lengths.astype(jnp.int32),
             page_table.reshape(-1).astype(jnp.int32)]
@@ -423,7 +448,7 @@ def paged_attention_quantized(q, k_pages, k_scales, v_pages, v_scales,
 def _prefix_kernel(lengths_ref, tables_ref, *refs, page_size,
                    pages_per_block, mask_value, n_tok, sm_D,
                    quantized=False, q_int8=False, window=None,
-                   softcap=None, has_alibi=False):
+                   softcap=None, has_alibi=False, ring=None):
     """Multi-token causal decode body: rows are (group, t) pairs flattened
     to group*n_tok; row (g, t) may see pages positions < lengths[b] - n_tok
     + t + 1 (its own token was already written into the pages).
@@ -527,6 +552,10 @@ def _prefix_kernel(lengths_ref, tables_ref, *refs, page_size,
         if softcap is not None:
             s = softcap * jnp.tanh(s * (1.0 / softcap))
         pos = blk * bk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+        if ring is not None:
+            # rolling-buffer slots -> absolute positions (see
+            # _decode_kernel); negative = never written, masked below
+            pos = (length - 1) - jnp.remainder(length - 1 - pos, ring)
         # row r is query token t = r % n_tok; it sees positions
         # < length - n_tok + t + 1 (causal within the new tokens)
         rowi = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
@@ -542,7 +571,9 @@ def _prefix_kernel(lengths_ref, tables_ref, *refs, page_size,
                                    slopes_ref[h * group + g], 0.0)
             s = s + slope * (pos - (length - n_tok + t)).astype(
                 jnp.float32)
-        s = jnp.where(pos < length - n_tok + t + 1, s, mask_value)
+        s = jnp.where(jnp.logical_and(pos >= 0,
+                                      pos < length - n_tok + t + 1),
+                      s, mask_value)
         if window is not None:
             # sliding window relative to each query token's position
             s = jnp.where(pos >= length - n_tok + t - window + 1, s,
@@ -579,7 +610,7 @@ def _prefix_kernel(lengths_ref, tables_ref, *refs, page_size,
 
 def paged_prefill_attention(q, k_pages, v_pages, lengths, page_table,
                             *, pages_per_block=4, window=None,
-                            softcap=None, alibi_slopes=None,
+                            softcap=None, alibi_slopes=None, ring=False,
                             interpret=None):
     """Multi-token causal attention against a paged KV cache (the
     prefix-prefill / context-attention kernel, reference
@@ -644,11 +675,19 @@ def paged_prefill_attention(q, k_pages, v_pages, lengths, page_table,
         ],
     )
 
+    ring_tokens = pages_per_seq * page_size if ring else None
+    if ring:
+        # the earliest chunk token must still see its whole window after
+        # the chunk's own T wrapped writes
+        assert window is not None and window + T - 1 <= ring_tokens, (
+            f"ring cache needs window + T - 1 <= ring capacity: "
+            f"{window} + {T} - 1 vs {ring_tokens}")
+
     kernel = functools.partial(
         _prefix_kernel, page_size=page_size,
         pages_per_block=pages_per_block, mask_value=NEG_BIG,
         n_tok=T, window=window, softcap=softcap, has_alibi=has_alibi,
-        sm_D=D)
+        ring=ring_tokens, sm_D=D)
 
     out = pl.pallas_call(
         kernel,
@@ -668,7 +707,8 @@ def paged_prefill_attention_quantized(q, k_pages, k_scales, v_pages,
                                       v_scales, lengths, page_table, *,
                                       pages_per_block=4, q_int8=False,
                                       window=None, softcap=None,
-                                      alibi_slopes=None, interpret=None):
+                                      alibi_slopes=None, ring=False,
+                                      interpret=None):
     """Multi-token causal attention against a QUANTIZED paged KV cache
     (1-byte pages + per-token scales, as paged_attention_quantized) —
     the verification/chunked-prefill step of an int8/fp8-KV serving
@@ -686,6 +726,11 @@ def paged_prefill_attention_quantized(q, k_pages, k_scales, v_pages,
     n_blk = pages_per_seq // pages_per_block
     if q_int8:
         assert k_pages.dtype == jnp.int8, "q_int8 needs int8 K pages"
+    if ring:
+        assert (window is not None
+                and window + T - 1 <= pages_per_seq * page_size), (
+            f"ring cache needs window + T - 1 <= ring capacity: "
+            f"{window} + {T} - 1 vs {pages_per_seq * page_size}")
 
     q4 = q.reshape(B, Hkv, group, T, D).reshape(B, Hkv, group * T, D)
     if Dp != D:
@@ -737,7 +782,8 @@ def paged_prefill_attention_quantized(q, k_pages, k_scales, v_pages,
         _prefix_kernel, page_size=page_size,
         pages_per_block=pages_per_block, mask_value=NEG_BIG,
         n_tok=T, sm_D=D, quantized=True, q_int8=q_int8,
-        window=window, softcap=softcap, has_alibi=has_alibi)
+        window=window, softcap=softcap, has_alibi=has_alibi,
+        ring=pages_per_seq * page_size if ring else None)
 
     args = [lengths.astype(jnp.int32),
             page_table.reshape(-1).astype(jnp.int32)]
