@@ -558,3 +558,22 @@ def test_trainable_grads_window_softcap_gqa_tails(rng):
             q, k, v, causal=True, window=96, softcap=25.0) ** 2)
 
     _grad_pair(loss, loss_ref, (q, k, v))
+
+
+def test_attention_sinks(rng):
+    """StreamingLLM attention sinks: with a sliding window, the first
+    `sinks` key positions stay visible to every query (and their blocks
+    are not skipped by the window band optimization)."""
+    B, H, S, D, W, SINKS = 1, 2, 512, 64, 64, 4
+    q = jnp.asarray(rng.standard_normal((B, H, S, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, H, S, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, H, S, D)), jnp.float32)
+    out = attn.flash_attention(q, k, v, causal=True, window=W,
+                               sinks=SINKS, block_q=128, block_k=128)
+    ref = attn.attention_ref(q, k, v, causal=True, window=W, sinks=SINKS)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+    # the sinks must actually matter (rows far past the window)
+    base = attn.flash_attention(q, k, v, causal=True, window=W,
+                                block_q=128, block_k=128)
+    assert np.abs(np.asarray(out) - np.asarray(base)).max() > 1e-3

@@ -373,3 +373,26 @@ def test_batcher_topk_sampling(setup):
     for i in a:
         assert a[i] == b[i], (i, a[i], b[i])
         assert all(0 <= t < CFG.vocab for t in a[i])
+
+
+def test_ring_cache_batcher(setup):
+    """ContinuousBatcher over a rolling-buffer cache: a windowed config
+    with a 64-token ring pool streams the same greedy tokens as the same
+    config over a full-size pool, even when prompt + generation wraps
+    the ring."""
+    import dataclasses
+    params, prompts = setup
+    cfg = dataclasses.replace(CFG, window=32)
+    n_new = 24  # 40-token prompt + 24 > 64-token ring
+
+    full = ContinuousBatcher(params, cfg, n_slots=2, pages_per_seq=2,
+                             page_size=128, max_new_tokens=n_new,
+                             prompt_buckets=(64,))
+    ref = full.run([(i, p) for i, p in enumerate(prompts)])
+
+    cb = ContinuousBatcher(params, cfg, n_slots=2, pages_per_seq=4,
+                           page_size=16, max_new_tokens=n_new,
+                           prompt_buckets=(64,), ring=True)
+    assert cb.cache.ring and cb.cache.ring_tokens == 64
+    out = cb.run([(i, p) for i, p in enumerate(prompts)])
+    assert out == ref, (out, ref)

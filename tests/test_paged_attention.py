@@ -443,3 +443,108 @@ def test_paged_prefix_prefill_int8_kv(rng):
         np.testing.assert_allclose(np.asarray(out, np.float64),
                                    np.asarray(ref, np.float64),
                                    rtol=tol, atol=tol)
+
+
+def test_paged_decode_sinks(rng):
+    """Windowed decode with attention sinks: the first `sinks` positions
+    stay visible in addition to the window (StreamingLLM)."""
+    import math
+    B, Hq, Hkv, D = 2, 4, 2, 64
+    page_size, pages_per_seq, P = 16, 8, 32
+    W, SINKS = 40, 4
+    q = jnp.asarray(rng.standard_normal((B, Hq, D)), jnp.float32)
+    k_pages = jnp.asarray(rng.standard_normal((Hkv, P, page_size, D)),
+                          jnp.float32)
+    v_pages = jnp.asarray(rng.standard_normal((Hkv, P, page_size, D)),
+                          jnp.float32)
+    lengths = jnp.asarray([100, 37], jnp.int32)
+    table = jnp.asarray(
+        rng.permutation(P)[: B * pages_per_seq].reshape(B, pages_per_seq),
+        jnp.int32)
+    out = pa.paged_attention(q, k_pages, v_pages, lengths, table,
+                             pages_per_block=2, window=W, sinks=SINKS)
+    S = pages_per_seq * page_size
+    k_seq = k_pages[:, table].transpose(1, 0, 2, 3, 4).reshape(B, Hkv, S, D)
+    v_seq = v_pages[:, table].transpose(1, 0, 2, 3, 4).reshape(B, Hkv, S, D)
+    qf = q.reshape(B, Hkv, Hq // Hkv, D)
+    s = jnp.einsum("bhgd,bhkd->bhgk", qf, k_seq) / math.sqrt(D)
+    pos = jnp.arange(S)[None, None, None, :]
+    lb = lengths[:, None, None, None]
+    keep = (pos < lb) & ((pos >= lb - W) | (pos < SINKS))
+    s = jnp.where(keep, s, -jnp.inf)
+    p = jax.nn.softmax(s, axis=-1)
+    ref = jnp.einsum("bhgk,bhkd->bhgd", p, v_seq).reshape(B, Hq, D)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+    # sinks must matter for the long sequence
+    base = pa.paged_attention(q, k_pages, v_pages, lengths, table,
+                              pages_per_block=2, window=W)
+    assert np.abs(np.asarray(out[0]) - np.asarray(base[0])).max() > 1e-3
+
+
+def _fill_ring_sinks(k_full, ring_tokens, page_size, L, sinks):
+    """Ring layout with pinned sink slots: position p < sinks lives at
+    slot p forever; later positions rotate through the remaining
+    R = ring_tokens - sinks slots."""
+    Hkv, _, D = k_full.shape
+    R = ring_tokens - sinks
+    pool = np.zeros((Hkv, ring_tokens // page_size, page_size, D),
+                    k_full.dtype)
+    for p in range(min(sinks, L)):
+        pool[:, p // page_size, p % page_size] = k_full[:, p]
+    for p in range(max(sinks, L - R), L):
+        s = sinks + (p - sinks) % R
+        pool[:, s // page_size, s % page_size] = k_full[:, p]
+    return pool
+
+
+def test_paged_decode_ring_sinks(rng):
+    """Ring cache with pinned attention sinks: a 64-slot ring (4 sink
+    slots + 60 rotating) matches the full-pool windowed+sinks decode
+    after wrapping."""
+    import math
+    B, Hq, Hkv, D = 2, 4, 2, 64
+    page_size, W, SINKS = 16, 40, 4
+    ring_pages, full_pps = 4, 16
+    L = np.array([150, 73])
+    q = jnp.asarray(rng.standard_normal((B, Hq, D)), jnp.float32)
+    k_full = rng.standard_normal((B, Hkv, 256, D)).astype(np.float32)
+    v_full = rng.standard_normal((B, Hkv, 256, D)).astype(np.float32)
+    ring_tokens = ring_pages * page_size
+    kr = np.stack([_fill_ring_sinks(k_full[b], ring_tokens, page_size,
+                                    L[b], SINKS) for b in range(B)],
+                  1).reshape(Hkv, B * ring_pages, page_size, D)
+    vr = np.stack([_fill_ring_sinks(v_full[b], ring_tokens, page_size,
+                                    L[b], SINKS) for b in range(B)],
+                  1).reshape(Hkv, B * ring_pages, page_size, D)
+    rtable = jnp.arange(B * ring_pages, dtype=jnp.int32).reshape(
+        B, ring_pages)
+    kf = np.zeros((Hkv, B * full_pps, page_size, D), np.float32)
+    vf = np.zeros_like(kf)
+    for b in range(B):
+        kf[:, b * full_pps:(b + 1) * full_pps] = k_full[b].reshape(
+            Hkv, full_pps, page_size, D)
+        vf[:, b * full_pps:(b + 1) * full_pps] = v_full[b].reshape(
+            Hkv, full_pps, page_size, D)
+    ftable = jnp.arange(B * full_pps, dtype=jnp.int32).reshape(B, full_pps)
+    lengths = jnp.asarray(L, jnp.int32)
+    out_ring = pa.paged_attention(q, jnp.asarray(kr), jnp.asarray(vr),
+                                  lengths, rtable, pages_per_block=2,
+                                  window=W, sinks=SINKS, ring=True)
+    out_full = pa.paged_attention(q, jnp.asarray(kf), jnp.asarray(vf),
+                                  lengths, ftable, pages_per_block=2,
+                                  window=W, sinks=SINKS)
+    np.testing.assert_allclose(np.asarray(out_ring), np.asarray(out_full),
+                               rtol=1e-4, atol=1e-4)
+
+    # prefix-prefill twin over the same wrapped ring
+    T = 4
+    qt = jnp.asarray(rng.standard_normal((B, Hq, T, D)), jnp.float32)
+    pr = pa.paged_prefill_attention(qt, jnp.asarray(kr), jnp.asarray(vr),
+                                    lengths, rtable, pages_per_block=2,
+                                    window=W, sinks=SINKS, ring=True)
+    pf = pa.paged_prefill_attention(qt, jnp.asarray(kf), jnp.asarray(vf),
+                                    lengths, ftable, pages_per_block=2,
+                                    window=W, sinks=SINKS)
+    np.testing.assert_allclose(np.asarray(pr), np.asarray(pf),
+                               rtol=1e-4, atol=1e-4)

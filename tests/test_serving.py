@@ -347,3 +347,32 @@ def test_ring_cache_matches_full_cache(setup):
     vf, _ = serving.verify_step(params, cfg, cont, full)
     np.testing.assert_allclose(np.asarray(vr), np.asarray(vf),
                                rtol=2e-3, atol=2e-3)
+
+
+def test_ring_cache_sinks(setup):
+    """Ring cache with StreamingLLM attention sinks (Config.sinks): the
+    first 4 positions stay pinned in the ring pool and visible past the
+    window; decode matches a full-size pool with the same config."""
+    import dataclasses
+    params, prompt = setup
+    cfg = dataclasses.replace(CFG, window=32, sinks=4)
+    B, T = prompt.shape
+    rng = np.random.default_rng(13)
+
+    ring = serving.init_cache(cfg, B, pages_per_seq=4, page_size=16,
+                              dtype=jnp.float32, ring=True)
+    full = serving.init_cache(cfg, B, pages_per_seq=16, page_size=16,
+                              dtype=jnp.float32)
+    lr, ring = serving.prefill(params, cfg, prompt, ring)
+    lf, full = serving.prefill(params, cfg, prompt, full)
+    np.testing.assert_allclose(np.asarray(lr), np.asarray(lf),
+                               rtol=2e-3, atol=2e-3)
+
+    # 48-token prompt + 24 steps = 72 > 64-slot ring: sink slots must
+    # survive the wrap
+    for i in range(24):
+        tok = jnp.asarray(rng.integers(0, cfg.vocab, (B,)), jnp.int32)
+        lr, ring = serving.decode_step(params, cfg, tok, ring)
+        lf, full = serving.decode_step(params, cfg, tok, full)
+        np.testing.assert_allclose(np.asarray(lr), np.asarray(lf),
+                                   rtol=2e-3, atol=2e-3)

@@ -54,7 +54,8 @@ class ContinuousBatcher:
                  eos_id=None, max_new_tokens=64, prompt_buckets=(64, 128),
                  greedy=True, temperature=1.0, seed=0,
                  top_k=0, top_p=1.0, min_p=0.0,
-                 cache_dtype=jnp.bfloat16, chunked_prefill=None):
+                 cache_dtype=jnp.bfloat16, chunked_prefill=None,
+                 ring=False):
         self.params = params
         self.cfg = cfg
         self.n_slots = n_slots
@@ -71,12 +72,15 @@ class ContinuousBatcher:
         self.key = jax.random.key(seed)
 
         # cache_dtype=jnp.int8 serves from the quantized KV tier (2x
-        # context per HBM byte; faster decode via the s8s8s32 MXU path)
+        # context per HBM byte; faster decode via the s8s8s32 MXU path).
+        # ring=True (requires cfg.window) makes the pool a rolling
+        # buffer: generation length is bounded by cfg.max_seq (the rope
+        # tables), not the pool size.
         self.cache = init_cache(cfg, n_slots, pages_per_seq, page_size,
-                                dtype=cache_dtype)
+                                dtype=cache_dtype, ring=ring)
         self.page_size = page_size
         self.pages_per_seq = pages_per_seq
-        self.max_len = pages_per_seq * page_size
+        self.max_len = cfg.max_seq if ring else pages_per_seq * page_size
         self.active = np.zeros(n_slots, bool)
         self.last_tok = np.zeros(n_slots, np.int32)
         self.n_generated = np.zeros(n_slots, np.int32)

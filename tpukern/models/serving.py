@@ -82,9 +82,10 @@ def init_cache(cfg: Config, batch, pages_per_seq, page_size=128,
     P = batch * pages_per_seq
     if ring:
         assert cfg.window is not None, "ring cache requires cfg.window"
-        assert cfg.window <= pages_per_seq * page_size, (
-            f"ring capacity {pages_per_seq * page_size} < window "
-            f"{cfg.window}")
+        need = cfg.window + int(cfg.sinks or 0)
+        assert need <= pages_per_seq * page_size, (
+            f"ring capacity {pages_per_seq * page_size} < window + sinks "
+            f"{need}")
     # head dim padded to the 128-lane tile: Mosaic requires page slices
     # lane-aligned in HBM (pad columns are zero and sliced off by the
     # kernels; _write_tokens writes D columns at offset 0)
@@ -121,7 +122,8 @@ def _pages_per_block(pages_per_seq, max_live_pages=None):
     return cands[0]
 
 
-def _write_tokens(pages, layer, new, table, start, ring=False):
+def _write_tokens(pages, layer, new, table, start, ring=False,
+                  sinks=0):
     """Scatter new (B, Hkv, T, D) tokens into the page pool at positions
     start[b] .. start[b]+T-1 of each sequence (mod the pool size for a
     ring cache)."""
@@ -137,9 +139,17 @@ def _write_tokens(pages, layer, new, table, start, ring=False):
             # (an inactive slot's write lands un-clamped at its current
             # length — safe only because that position is always
             # overwritten before the slot's length ever reaches it);
-            # a ring cache wraps instead of clamping
+            # a ring cache wraps instead of clamping (sink slots are
+            # pinned; only the remaining region rotates)
             if ring:
-                pos = jnp.remainder(start_b + t, max_pos + 1)
+                pp = start_b + t
+                if sinks:
+                    pos = jnp.where(
+                        pp < sinks, pp,
+                        sinks + jnp.remainder(pp - sinks,
+                                              max_pos + 1 - sinks))
+                else:
+                    pos = jnp.remainder(pp, max_pos + 1)
             else:
                 pos = jnp.minimum(start_b + t, max_pos)
             phys = table_b[pos // page_size]
@@ -157,7 +167,7 @@ def _write_tokens(pages, layer, new, table, start, ring=False):
 
 
 def _write_tokens_quantized(pages, scales, layer, new, table, start,
-                            ring=False):
+                            ring=False, sinks=0):
     """Row-quantize new (B, Hkv, T, D) tokens to the pool's 1-byte dtype
     (int8 or fp8-e4m3) and scatter values + per-token scales into the
     quantized pool (same indexing discipline as _write_tokens)."""
@@ -175,7 +185,14 @@ def _write_tokens_quantized(pages, scales, layer, new, table, start,
         def per_tok(carry, t):
             pages, scales = carry
             if ring:
-                pos = jnp.remainder(start_b + t, max_pos + 1)
+                pp = start_b + t
+                if sinks:
+                    pos = jnp.where(
+                        pp < sinks, pp,
+                        sinks + jnp.remainder(pp - sinks,
+                                              max_pos + 1 - sinks))
+                else:
+                    pos = jnp.remainder(pp, max_pos + 1)
             else:
                 pos = jnp.minimum(start_b + t, max_pos)
             phys = table_b[pos // page_size]
@@ -196,21 +213,22 @@ def _write_tokens_quantized(pages, scales, layer, new, table, start,
 
 
 def _write_kv(cache, k_pages, v_pages, k_scales, v_scales, layer, k, v,
-              start):
+              start, sinks=0):
     """Write one layer's new K/V tokens via the cache's tier (float
     passthrough or int8 row-quantized)."""
+    sinks = int(sinks or 0)
     if cache.quantized:
         k_pages, k_scales = _write_tokens_quantized(
             k_pages, k_scales, layer, k, cache.page_table, start,
-            ring=cache.ring)
+            ring=cache.ring, sinks=sinks)
         v_pages, v_scales = _write_tokens_quantized(
             v_pages, v_scales, layer, v, cache.page_table, start,
-            ring=cache.ring)
+            ring=cache.ring, sinks=sinks)
     else:
         k_pages = _write_tokens(k_pages, layer, k, cache.page_table,
-                                start, ring=cache.ring)
+                                start, ring=cache.ring, sinks=sinks)
         v_pages = _write_tokens(v_pages, layer, v, cache.page_table,
-                                start, ring=cache.ring)
+                                start, ring=cache.ring, sinks=sinks)
     return k_pages, v_pages, k_scales, v_scales
 
 
@@ -266,7 +284,7 @@ def prefill(params, cfg: Config, tokens, cache: KVCache, last_index=None,
         hn = rms_norm(h.reshape(B * T, -1), lp["ln1"]).reshape(h.shape)
         q, k, v = _layer_qkv(hn, lp, cfg, positions)
         o = flash_attention(q, k, v, causal=True, window=cfg.window,
-                            softcap=cfg.softcap)
+                            sinks=cfg.sinks, softcap=cfg.softcap)
         o = o.transpose(0, 2, 1, 3).reshape(B * T, -1) @ lp["wo"]
         if tp_axis is not None:  # wo is row-split: sum the partials
             o = jax.lax.psum(o, tp_axis)
@@ -277,7 +295,8 @@ def prefill(params, cfg: Config, tokens, cache: KVCache, last_index=None,
             mlp = jax.lax.psum(mlp, tp_axis)
         h = h + mlp.reshape(h.shape)
         k_pages, v_pages, k_scales, v_scales = _write_kv(
-            cache, k_pages, v_pages, k_scales, v_scales, li, k, v, start)
+            cache, k_pages, v_pages, k_scales, v_scales, li, k, v, start,
+            sinks=cfg.sinks)
     if last_index is None:
         h_last = h[:, -1]
     else:
@@ -314,7 +333,7 @@ def decode_step(params, cfg: Config, last_tokens, cache: KVCache,
         q, k, v = _layer_qkv(hn, lp, cfg, positions)
         k_pages, v_pages, k_scales, v_scales = _write_kv(
             cache, k_pages, v_pages, k_scales, v_scales, li, k, v,
-            cache.lengths)
+            cache.lengths, sinks=cfg.sinks)
         ppb = (pages_per_block if pages_per_block is not None
                else _pages_per_block(cache.page_table.shape[1]))
         if cache.quantized:
@@ -324,13 +343,14 @@ def decode_step(params, cfg: Config, last_tokens, cache: KVCache,
                 q[:, :, 0], k_pages[li], k_scales[li], v_pages[li],
                 v_scales[li], cache.lengths + 1, cache.page_table,
                 pages_per_block=ppb, window=cfg.window,
-                softcap=cfg.softcap, ring=cache.ring,
+                softcap=cfg.softcap, ring=cache.ring, sinks=cfg.sinks,
                 q_int8=k_pages.dtype == jnp.int8)
         else:
             o = paged_attention(q[:, :, 0], k_pages[li], v_pages[li],
                                 cache.lengths + 1, cache.page_table,
                                 pages_per_block=ppb, window=cfg.window,
-                                softcap=cfg.softcap, ring=cache.ring)
+                                softcap=cfg.softcap, ring=cache.ring,
+                                sinks=cfg.sinks)
         o = o.reshape(B, -1) @ lp["wo"]
         if tp_axis is not None:
             o = jax.lax.psum(o, tp_axis)
@@ -370,7 +390,8 @@ def verify_step(params, cfg: Config, tokens, cache: KVCache,
         hn = rms_norm(h.reshape(B * T, -1), lp["ln1"]).reshape(h.shape)
         q, k, v = _layer_qkv(hn, lp, cfg, positions)
         k_pages, v_pages, k_scales, v_scales = _write_kv(
-            cache, k_pages, v_pages, k_scales, v_scales, li, k, v, start)
+            cache, k_pages, v_pages, k_scales, v_scales, li, k, v,
+            start, sinks=cfg.sinks)
         ppb = (pages_per_block if pages_per_block is not None
                else _pages_per_block(cache.page_table.shape[1]))
         if cache.quantized:
@@ -378,6 +399,7 @@ def verify_step(params, cfg: Config, tokens, cache: KVCache,
                 q, k_pages[li], k_scales[li], v_pages[li], v_scales[li],
                 start + T, cache.page_table, pages_per_block=ppb,
                 window=cfg.window, softcap=cfg.softcap, ring=cache.ring,
+                sinks=cfg.sinks,
                 q_int8=k_pages.dtype == jnp.int8)
         else:
             o = paged_prefill_attention(q, k_pages[li], v_pages[li],
@@ -385,7 +407,8 @@ def verify_step(params, cfg: Config, tokens, cache: KVCache,
                                         pages_per_block=ppb,
                                         window=cfg.window,
                                         softcap=cfg.softcap,
-                                        ring=cache.ring)
+                                        ring=cache.ring,
+                                        sinks=cfg.sinks)
         o = o.transpose(0, 2, 1, 3).reshape(B * T, -1) @ lp["wo"]
         if tp_axis is not None:
             o = jax.lax.psum(o, tp_axis)

@@ -30,6 +30,7 @@ from jax import lax
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 from jax import shard_map
 
+from tpukern.ops.attention import flash_attention
 from tpukern.ops.trainable import (
     flash_attention_trainable,
     matmul_t,
@@ -67,6 +68,11 @@ class Config:
     # Gemma-style logit softcap
     window: Any = None
     softcap: Any = None
+    # StreamingLLM attention sinks (requires window): the first `sinks`
+    # positions stay visible to every query. Inference-only — forward()
+    # and the serving stack honor it; the training step rejects it (the
+    # backward kernels don't carry the sink mask).
+    sinks: Any = None
 
     @property
     def head_dim(self):
@@ -166,8 +172,14 @@ def _attn_block(h, lp, cfg: Config, tp_size: int, tp_axis, sp_axis=None):
     q = rope_t(q.reshape(B * hq * S, Dh), S).reshape(B, hq, S, Dh)
     k = rope_t(k.reshape(B * hkv * S, Dh), S).reshape(B, hkv, S, Dh)
 
-    o = flash_attention_trainable(q, k, v, True, None,
-                                  cfg.window, cfg.softcap)
+    if cfg.sinks is not None:
+        # sinks are an inference-only mask: run the plain forward kernel
+        # (differentiating through it raises — by design)
+        o = flash_attention(q, k, v, causal=True, window=cfg.window,
+                            sinks=cfg.sinks, softcap=cfg.softcap)
+    else:
+        o = flash_attention_trainable(q, k, v, True, None,
+                                      cfg.window, cfg.softcap)
     o = o.transpose(0, 2, 1, 3).reshape(B * S, hq * Dh)
     o = matmul_t(o, lp["wo"])
     if tp_axis is not None:

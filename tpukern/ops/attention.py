@@ -62,7 +62,7 @@ MAX_HEADDIM = {
 def _fa_kernel(*refs, causal, block_q, block_k, with_stats,
                has_alibi, causal_offset=0, kv_len=None, use_exp2=True,
                has_carry_in=False, carry_out=False, window=None,
-               has_segments=False, softcap=None, duo=False):
+               has_segments=False, softcap=None, duo=False, sinks=None):
     """Online-softmax body, by default in log2 space: q arrives pre-scaled
     by sm_scale*log2(e), so p = exp2(s - m) uses the VPU's fast exp2 and
     saves one multiply per score element (the rescale-then-update
@@ -127,10 +127,13 @@ def _fa_kernel(*refs, causal, block_q, block_k, with_stats,
         if window is not None:
             # ... and isn't entirely below the sliding window's lower edge
             # (oldest visible kv for the block's last row)
-            should_run = jnp.logical_and(
-                should_run,
-                (ki + 1) * block_k - 1
-                >= qi * block_q + causal_offset - window + 1)
+            in_band = ((ki + 1) * block_k - 1
+                       >= qi * block_q + causal_offset - window + 1)
+            if sinks is not None:
+                # attention sinks (StreamingLLM): blocks holding the
+                # first `sinks` kv positions always run
+                in_band = jnp.logical_or(in_band, ki * block_k < sinks)
+            should_run = jnp.logical_and(should_run, in_band)
     else:
         should_run = True
 
@@ -224,9 +227,12 @@ def _fa_kernel(*refs, causal, block_q, block_k, with_stats,
             s = jnp.where(cols <= rows + causal_offset, s, NEG_BIG)
             if window is not None:
                 # sliding window: only the last `window` kv positions
-                # relative to each query row stay visible
-                s = jnp.where(cols >= rows + causal_offset - window + 1,
-                              s, NEG_BIG)
+                # relative to each query row stay visible — plus the
+                # first `sinks` positions (StreamingLLM attention sinks)
+                keep = cols >= rows + causal_offset - window + 1
+                if sinks is not None:
+                    keep = jnp.logical_or(keep, cols < sinks)
+                s = jnp.where(keep, s, NEG_BIG)
         if kv_len is not None:
             s = jnp.where(cols < kv_len, s, NEG_BIG)
         if has_segments:
@@ -307,7 +313,7 @@ def _fa_kernel(*refs, causal, block_q, block_k, with_stats,
 def flash_attention(q, k, v, *, causal=False, sm_scale=None,
                     block_q=None, block_k=None, acc_dtype=jnp.float32,
                     return_stats=False, alibi_slopes=None,
-                    causal_offset=0, window=None, carry=None,
+                    causal_offset=0, window=None, sinks=None, carry=None,
                     return_carry=False, segment_ids=None, softcap=None,
                     duo=False, interpret=None):
     """FA-2 forward. q: (B, Hq, Sq, D); k, v: (B, Hkv, Skv, D), Hkv | Hq.
@@ -323,7 +329,10 @@ def flash_attention(q, k, v, *, causal=False, sm_scale=None,
     window (with causal=True) restricts each query to the last `window`
     key positions (sliding-window / local attention, mistral-style);
     blocks entirely outside the band are skipped, so FLOPs scale with
-    S*window rather than S^2.
+    S*window rather than S^2. sinks (with window) re-admits the first
+    `sinks` key positions for every query — StreamingLLM-style attention
+    sinks, keeping long-context generation stable under a rolling
+    window.
 
     segment_ids = (q_seg (B, Sq) int, kv_seg (B, Skv) int) masks packed
     sequences: a query attends only to kv positions with an equal segment
@@ -344,7 +353,7 @@ def flash_attention(q, k, v, *, causal=False, sm_scale=None,
     # _fa_tpv_kernel). Only when the caller asked for defaults and no
     # feature the tpv kernel lacks — explicit blocks mean a tuned tier.
     if (q.shape[-1] <= 64 and block_q is None and block_k is None
-            and alibi_slopes is None and window is None
+            and alibi_slopes is None and window is None and sinks is None
             and segment_ids is None and softcap is None and not duo
             and acc_dtype == jnp.float32):
         return flash_attention_tpv(q, k, v, causal=causal,
@@ -408,6 +417,11 @@ def flash_attention(q, k, v, *, causal=False, sm_scale=None,
     if window is not None:
         assert causal, "sliding window requires causal=True"
         assert window >= 1
+    if sinks is not None:
+        assert window is not None, (
+            "sinks only matter with a sliding window (without one the "
+            "causal mask already keeps every prefix position)")
+        assert sinks >= 1
     if softcap is not None:
         assert softcap > 0
         assert not has_alibi, "softcap + alibi ordering is ambiguous"
@@ -424,7 +438,7 @@ def flash_attention(q, k, v, *, causal=False, sm_scale=None,
         has_alibi=has_alibi, causal_offset=causal_offset,
         kv_len=Skv if Skv % bk else None, use_exp2=use_exp2,
         has_carry_in=carry is not None, carry_out=return_carry,
-        window=window, has_segments=segment_ids is not None,
+        window=window, sinks=sinks, has_segments=segment_ids is not None,
         softcap=softcap, duo=duo)
 
     # lse carries an 8-wide trailing dim: Mosaic block shapes need the
@@ -797,7 +811,7 @@ def flash_attention_tpv(q, k, v, *, causal=False, sm_scale=None,
 
 def attention_ref(q, k, v, *, causal=False, sm_scale=None,
                   alibi_slopes=None, segment_ids=None, softcap=None,
-                  window=None):
+                  window=None, sinks=None):
     """Unfused XLA reference (the reference harness's `unfused attention`,
     flash_attn_mma.py:384), with GQA broadcast."""
     B, Hq, Sq, D = q.shape
@@ -821,7 +835,10 @@ def attention_ref(q, k, v, *, causal=False, sm_scale=None,
         if window is not None:
             cols = jnp.arange(Skv)[None, :]
             rows = jnp.arange(Sq)[:, None]
-            mask = mask & (cols >= rows - window + 1)
+            band = cols >= rows - window + 1
+            if sinks is not None:
+                band = band | (cols < sinks)
+            mask = mask & band
         s = jnp.where(mask, s, -jnp.inf)
     if segment_ids is not None:
         q_seg, kv_seg = segment_ids

@@ -37,7 +37,7 @@ NEG_BIG = -0.7 * 3.4e38
 def _decode_kernel(lengths_ref, tables_ref, *refs,
                    page_size, pages_per_block, mask_value,
                    quantized=False, q_int8=False, sm_D=None, window=None,
-                   softcap=None, has_alibi=False, ring=None):
+                   softcap=None, has_alibi=False, ring=None, sinks=0):
     slopes_ref = None
     if has_alibi:
         # per-q-head ALiBi slopes, (Hq,) f32 in SMEM (first input)
@@ -73,7 +73,11 @@ def _decode_kernel(lengths_ref, tables_ref, *refs,
             # sliding window: blocks entirely older than the window skip
             # both their DMA and their compute (with a ring buffer every
             # live slot is inside the window by construction)
-            v = jnp.logical_and(v, (t + 1) * bk - 1 >= length - window)
+            in_band = (t + 1) * bk - 1 >= length - window
+            if sinks:
+                # attention-sink blocks always stay live (StreamingLLM)
+                in_band = jnp.logical_or(in_band, t * bk < sinks)
+            v = jnp.logical_and(v, in_band)
         return v
 
     def fetch(t, slot):
@@ -166,11 +170,24 @@ def _decode_kernel(lengths_ref, tables_ref, *refs,
             s = softcap * jnp.tanh(s * (1.0 / softcap))
         pos = blk * bk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         if ring is not None:
-            # rolling-buffer cache: slot s holds the newest token with
-            # absolute position == s (mod ring); recover it as the
-            # largest p <= length-1 with p == s (mod ring). Slots never
-            # written (first lap) come out negative and mask away.
-            pos = (length - 1) - jnp.remainder(length - 1 - pos, ring)
+            # rolling-buffer cache: ring-region slot s holds the newest
+            # token with position == s (mod R); recover it as the
+            # largest p <= length-1 congruent to s. Slots never written
+            # (first lap) recover a position outside the slot's region
+            # and mask away. With sinks, slots < sinks are pinned
+            # (position == slot) and only the remaining R = ring - sinks
+            # slots rotate.
+            R = ring - sinks
+            slot_idx = pos
+            ring_pos = (length - 1) - jnp.remainder(
+                length - 1 - slot_idx, R)
+            if sinks:
+                pos = jnp.where(slot_idx < sinks, slot_idx, ring_pos)
+                pos = jnp.where(
+                    jnp.logical_and(slot_idx >= sinks, ring_pos < sinks),
+                    -1, pos)
+            else:
+                pos = ring_pos
         if has_alibi:
             # ALiBi: s += slope_g * (k_pos - q_pos), q_pos = length - 1
             # (reference kernels/openai-triton/prefix_prefill_alibi.py).
@@ -185,7 +202,10 @@ def _decode_kernel(lengths_ref, tables_ref, *refs,
         s = jnp.where(jnp.logical_and(pos >= 0, pos < length), s,
                       mask_value)
         if window is not None:
-            s = jnp.where(pos >= length - window, s, mask_value)
+            keep = pos >= length - window
+            if sinks:
+                keep = jnp.logical_or(keep, pos < sinks)
+            s = jnp.where(keep, s, mask_value)
 
         m_prev = m_s[:, :1]
         l_prev = l_s[:, :1]
@@ -220,7 +240,8 @@ def _decode_kernel(lengths_ref, tables_ref, *refs,
 
 def paged_attention(q, k_pages, v_pages, lengths, page_table,
                     *, pages_per_block=4, window=None, softcap=None,
-                    alibi_slopes=None, ring=False, interpret=None):
+                    alibi_slopes=None, ring=False, sinks=None,
+                    interpret=None):
     """Decode attention against a paged KV cache.
 
     q:          (B, Hq, D)           current-token queries
@@ -248,11 +269,13 @@ def paged_attention(q, k_pages, v_pages, lengths, page_table,
     group = Hq // Hkv
     assert pages_per_seq % pages_per_block == 0
     assert window is None or window >= 1, f"window must be >= 1: {window}"
+    sinks = int(sinks or 0)
+    assert sinks == 0 or window is not None, "sinks require a window"
     ring_tokens = pages_per_seq * page_size if ring else None
     if ring:
-        assert window is not None and window <= ring_tokens, (
-            f"ring cache needs window <= ring capacity: {window} vs "
-            f"{ring_tokens}")
+        assert window is not None and window <= ring_tokens - sinks, (
+            f"ring cache needs window <= ring capacity - sinks: "
+            f"{window} vs {ring_tokens} - {sinks}")
     n_blk = pages_per_seq // pages_per_block
     bk = page_size * pages_per_block
 
@@ -302,7 +325,7 @@ def paged_attention(q, k_pages, v_pages, lengths, page_table,
         _decode_kernel, page_size=page_size,
         pages_per_block=pages_per_block, mask_value=NEG_BIG,
         window=window, softcap=softcap, has_alibi=has_alibi,
-        ring=ring_tokens, sm_D=D)
+        ring=ring_tokens, sinks=sinks, sm_D=D)
 
     out = pl.pallas_call(
         kernel,
@@ -342,7 +365,7 @@ def quantize_pages(pages, dtype="int8"):
 def paged_attention_quantized(q, k_pages, k_scales, v_pages, v_scales,
                               lengths, page_table, *, pages_per_block=4,
                               q_int8=False, window=None, softcap=None,
-                              alibi_slopes=None, ring=False,
+                              alibi_slopes=None, ring=False, sinks=None,
                               interpret=None):
     """Decode attention against a quantized paged KV cache: pages are
     1-byte values (int8 or float8_e4m3fn — half the DMA traffic of
@@ -369,11 +392,13 @@ def paged_attention_quantized(q, k_pages, k_scales, v_pages, v_scales,
     n_blk = pages_per_seq // pages_per_block
     if q_int8:
         assert k_pages.dtype == jnp.int8, "q_int8 needs int8 K pages"
+    sinks = int(sinks or 0)
+    assert sinks == 0 or window is not None, "sinks require a window"
     ring_tokens = pages_per_seq * page_size if ring else None
     if ring:
-        assert window is not None and window <= ring_tokens, (
-            f"ring cache needs window <= ring capacity: {window} vs "
-            f"{ring_tokens}")
+        assert window is not None and window <= ring_tokens - sinks, (
+            f"ring cache needs window <= ring capacity - sinks: "
+            f"{window} vs {ring_tokens} - {sinks}")
 
     q4 = q.reshape(B, Hkv, group, D)
     if Dp != D:
@@ -424,7 +449,7 @@ def paged_attention_quantized(q, k_pages, k_scales, v_pages, v_scales,
         _decode_kernel, page_size=page_size,
         pages_per_block=pages_per_block, mask_value=NEG_BIG,
         quantized=True, q_int8=q_int8, window=window, softcap=softcap,
-        has_alibi=has_alibi, ring=ring_tokens, sm_D=D)
+        has_alibi=has_alibi, ring=ring_tokens, sinks=sinks, sm_D=D)
 
     args = [lengths.astype(jnp.int32),
             page_table.reshape(-1).astype(jnp.int32)]
@@ -448,7 +473,7 @@ def paged_attention_quantized(q, k_pages, k_scales, v_pages, v_scales,
 def _prefix_kernel(lengths_ref, tables_ref, *refs, page_size,
                    pages_per_block, mask_value, n_tok, sm_D,
                    quantized=False, q_int8=False, window=None,
-                   softcap=None, has_alibi=False, ring=None):
+                   softcap=None, has_alibi=False, ring=None, sinks=0):
     """Multi-token causal decode body: rows are (group, t) pairs flattened
     to group*n_tok; row (g, t) may see pages positions < lengths[b] - n_tok
     + t + 1 (its own token was already written into the pages).
@@ -554,8 +579,18 @@ def _prefix_kernel(lengths_ref, tables_ref, *refs, page_size,
         pos = blk * bk + jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
         if ring is not None:
             # rolling-buffer slots -> absolute positions (see
-            # _decode_kernel); negative = never written, masked below
-            pos = (length - 1) - jnp.remainder(length - 1 - pos, ring)
+            # _decode_kernel); out-of-region recoveries mask below
+            R = ring - sinks
+            slot_idx = pos
+            ring_pos = (length - 1) - jnp.remainder(
+                length - 1 - slot_idx, R)
+            if sinks:
+                pos = jnp.where(slot_idx < sinks, slot_idx, ring_pos)
+                pos = jnp.where(
+                    jnp.logical_and(slot_idx >= sinks, ring_pos < sinks),
+                    -1, pos)
+            else:
+                pos = ring_pos
         # row r is query token t = r % n_tok; it sees positions
         # < length - n_tok + t + 1 (causal within the new tokens)
         rowi = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0)
@@ -576,8 +611,10 @@ def _prefix_kernel(lengths_ref, tables_ref, *refs, page_size,
                       s, mask_value)
         if window is not None:
             # sliding window relative to each query token's position
-            s = jnp.where(pos >= length - n_tok + t - window + 1, s,
-                          mask_value)
+            keep = pos >= length - n_tok + t - window + 1
+            if sinks:
+                keep = jnp.logical_or(keep, pos < sinks)
+            s = jnp.where(keep, s, mask_value)
 
         m_prev = m_s[:, :1]
         l_prev = l_s[:, :1]
@@ -611,7 +648,7 @@ def _prefix_kernel(lengths_ref, tables_ref, *refs, page_size,
 def paged_prefill_attention(q, k_pages, v_pages, lengths, page_table,
                             *, pages_per_block=4, window=None,
                             softcap=None, alibi_slopes=None, ring=False,
-                            interpret=None):
+                            sinks=None, interpret=None):
     """Multi-token causal attention against a paged KV cache (the
     prefix-prefill / context-attention kernel, reference
     kernels/openai-triton/prefix_prefill.py adapted from vLLM — here the
@@ -675,19 +712,22 @@ def paged_prefill_attention(q, k_pages, v_pages, lengths, page_table,
         ],
     )
 
+    sinks = int(sinks or 0)
+    assert sinks == 0 or window is not None, "sinks require a window"
     ring_tokens = pages_per_seq * page_size if ring else None
     if ring:
         # the earliest chunk token must still see its whole window after
         # the chunk's own T wrapped writes
-        assert window is not None and window + T - 1 <= ring_tokens, (
-            f"ring cache needs window + T - 1 <= ring capacity: "
-            f"{window} + {T} - 1 vs {ring_tokens}")
+        assert (window is not None
+                and window + T - 1 <= ring_tokens - sinks), (
+            f"ring cache needs window + T - 1 <= ring capacity - sinks: "
+            f"{window} + {T} - 1 vs {ring_tokens} - {sinks}")
 
     kernel = functools.partial(
         _prefix_kernel, page_size=page_size,
         pages_per_block=pages_per_block, mask_value=NEG_BIG,
         n_tok=T, window=window, softcap=softcap, has_alibi=has_alibi,
-        ring=ring_tokens, sm_D=D)
+        ring=ring_tokens, sinks=sinks, sm_D=D)
 
     out = pl.pallas_call(
         kernel,
@@ -708,7 +748,7 @@ def paged_prefill_attention_quantized(q, k_pages, k_scales, v_pages,
                                       pages_per_block=4, q_int8=False,
                                       window=None, softcap=None,
                                       alibi_slopes=None, ring=False,
-                                      interpret=None):
+                                      sinks=None, interpret=None):
     """Multi-token causal attention against a QUANTIZED paged KV cache
     (1-byte pages + per-token scales, as paged_attention_quantized) —
     the verification/chunked-prefill step of an int8/fp8-KV serving
@@ -726,11 +766,13 @@ def paged_prefill_attention_quantized(q, k_pages, k_scales, v_pages,
     n_blk = pages_per_seq // pages_per_block
     if q_int8:
         assert k_pages.dtype == jnp.int8, "q_int8 needs int8 K pages"
+    sinks = int(sinks or 0)
+    assert sinks == 0 or window is not None, "sinks require a window"
     if ring:
-        assert (window is not None
-                and window + T - 1 <= pages_per_seq * page_size), (
-            f"ring cache needs window + T - 1 <= ring capacity: "
-            f"{window} + {T} - 1 vs {pages_per_seq * page_size}")
+        cap = pages_per_seq * page_size - sinks
+        assert window is not None and window + T - 1 <= cap, (
+            f"ring cache needs window + T - 1 <= ring capacity - sinks: "
+            f"{window} + {T} - 1 vs {cap}")
 
     q4 = q.reshape(B, Hkv, group, T, D).reshape(B, Hkv, group * T, D)
     if Dp != D:
@@ -783,7 +825,7 @@ def paged_prefill_attention_quantized(q, k_pages, k_scales, v_pages,
         pages_per_block=pages_per_block, mask_value=NEG_BIG,
         n_tok=T, sm_D=D, quantized=True, q_int8=q_int8,
         window=window, softcap=softcap, has_alibi=has_alibi,
-        ring=pages_per_seq * page_size if ring else None)
+        ring=pages_per_seq * page_size if ring else None, sinks=sinks)
 
     args = [lengths.astype(jnp.int32),
             page_table.reshape(-1).astype(jnp.int32)]
