@@ -383,16 +383,40 @@ def test_ring_cache_batcher(setup):
     import dataclasses
     params, prompts = setup
     cfg = dataclasses.replace(CFG, window=32)
-    n_new = 24  # 40-token prompt + 24 > 64-token ring
+    n_new = 24  # 40-token prompt + 24 > 48-token ring: wraps
 
     full = ContinuousBatcher(params, cfg, n_slots=2, pages_per_seq=2,
                              page_size=128, max_new_tokens=n_new,
-                             prompt_buckets=(64,))
+                             prompt_buckets=(48,))
     ref = full.run([(i, p) for i, p in enumerate(prompts)])
 
-    cb = ContinuousBatcher(params, cfg, n_slots=2, pages_per_seq=4,
+    cb = ContinuousBatcher(params, cfg, n_slots=2, pages_per_seq=3,
                            page_size=16, max_new_tokens=n_new,
-                           prompt_buckets=(64,), ring=True)
-    assert cb.cache.ring and cb.cache.ring_tokens == 64
+                           prompt_buckets=(48,), ring=True)
+    assert cb.cache.ring and cb.cache.ring_tokens == 48
     out = cb.run([(i, p) for i, p in enumerate(prompts)])
     assert out == ref, (out, ref)
+
+
+def test_prefix_cache_batcher(setup):
+    """prefix_cache=True: requests sharing a prompt prefix alias its
+    pages instead of recomputing it, and streams stay identical to the
+    non-caching batcher (source slots aren't recycled while aliased)."""
+    params, _ = setup
+    rng = np.random.default_rng(31)
+    base = rng.integers(0, CFG.vocab, 40).astype(np.int32)
+    prompts = [base,
+               np.concatenate([base, [5, 9, 11]]).astype(np.int32),
+               np.concatenate([base[:24], [7] * 10]).astype(np.int32)]
+
+    kw = dict(n_slots=2, pages_per_seq=4, page_size=16,
+              max_new_tokens=5, prompt_buckets=(64,))
+    ref = ContinuousBatcher(params, CFG, **kw).run(
+        [(i, p) for i, p in enumerate(prompts)])
+    cb = ContinuousBatcher(params, CFG, prefix_cache=True, **kw)
+    out = cb.run([(i, p) for i, p in enumerate(prompts)])
+    assert out == ref, (out, ref)
+    # the second request must actually have aliased the base prefix
+    # (40 tokens -> 2 full pages shared from slot 0)
+    t = np.asarray(cb.cache.page_table)
+    assert (t[1, :2] == t[0, :2]).all()

@@ -9,7 +9,8 @@ EXAMPLES = ["examples/vector_add.py", "examples/tiled_matmul.py",
             "examples/double_buffered_copy.py",
             "examples/serving_pipeline.py",
             "examples/serving_scaled.py",
-            "examples/train_tiny.py"]
+            "examples/train_tiny.py",
+            "examples/streaming_serving.py"]
 
 
 @pytest.mark.parametrize("path", EXAMPLES)

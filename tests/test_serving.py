@@ -332,14 +332,16 @@ def test_ring_cache_matches_full_cache(setup):
     np.testing.assert_allclose(np.asarray(lr), np.asarray(lf),
                                rtol=2e-3, atol=2e-3)
 
-    # decode far enough to wrap the 64-token ring (48 + 40 = 88 tokens)
-    for i in range(40):
+    # decode far enough to wrap the 64-token ring (48 + 20 = 68 tokens);
+    # jit the step (interpret-mode kernels compile once, loop runs fast)
+    dstep = jax.jit(lambda p, t, c: serving.decode_step(p, cfg, t, c))
+    for i in range(20):
         tok = jnp.asarray(rng.integers(0, cfg.vocab, (B,)), jnp.int32)
-        lr, ring = serving.decode_step(params, cfg, tok, ring)
-        lf, full = serving.decode_step(params, cfg, tok, full)
+        lr, ring = dstep(params, tok, ring)
+        lf, full = dstep(params, tok, full)
         np.testing.assert_allclose(np.asarray(lr), np.asarray(lf),
                                    rtol=2e-3, atol=2e-3)
-    assert int(ring.lengths[0]) == T + 40  # lengths stay absolute
+    assert int(ring.lengths[0]) == T + 20  # lengths stay absolute
 
     # speculative verify over the wrapped ring
     cont = jnp.asarray(rng.integers(0, cfg.vocab, (B, 4)), jnp.int32)
@@ -368,11 +370,102 @@ def test_ring_cache_sinks(setup):
     np.testing.assert_allclose(np.asarray(lr), np.asarray(lf),
                                rtol=2e-3, atol=2e-3)
 
-    # 48-token prompt + 24 steps = 72 > 64-slot ring: sink slots must
+    # 48-token prompt + 20 steps = 68 > 64-slot ring: sink slots must
     # survive the wrap
-    for i in range(24):
+    dstep = jax.jit(lambda p, t, c: serving.decode_step(p, cfg, t, c))
+    for i in range(20):
         tok = jnp.asarray(rng.integers(0, cfg.vocab, (B,)), jnp.int32)
-        lr, ring = serving.decode_step(params, cfg, tok, ring)
-        lf, full = serving.decode_step(params, cfg, tok, full)
+        lr, ring = dstep(params, tok, ring)
+        lf, full = dstep(params, tok, full)
         np.testing.assert_allclose(np.asarray(lr), np.asarray(lf),
+                                   rtol=2e-3, atol=2e-3)
+
+
+def test_prefix_sharing(setup):
+    """vLLM-style prefix caching: prefill once, alias the prefix pages
+    into other slots (full pages shared, partial page copy-on-write),
+    then decode divergent continuations — every slot matches a cache
+    where each slot was prefilled independently."""
+    params, prompt = setup
+    B, T = prompt.shape           # T = 48 = 3 full 16-pages
+    rng = np.random.default_rng(17)
+    one = prompt[0]               # shared prompt, length 48
+
+    # page_size 16 and a 40-token prefix -> 2 full pages + 8-token COW
+    cache = serving.init_cache(CFG, 3, pages_per_seq=8, page_size=16,
+                               dtype=jnp.float32)
+    logits0, cache = serving.prefill_prefix(params, CFG, one, cache,
+                                            slot=0)
+    cache = serving.share_prefix(cache, 0, [1, 2], int(one.shape[0]))
+    # full pages are aliased (one physical copy), partial/none copied
+    t = np.asarray(cache.page_table)
+    assert (t[1, :3] == t[0, :3]).all() and (t[2, :3] == t[0, :3]).all()
+
+    # reference: all three slots prefilled independently
+    ref_cache = serving.init_cache(CFG, 3, pages_per_seq=8, page_size=16,
+                                   dtype=jnp.float32)
+    ref_logits, ref_cache = serving.prefill(
+        params, CFG, jnp.broadcast_to(one, (3, one.shape[0])), ref_cache)
+    np.testing.assert_allclose(np.asarray(logits0),
+                               np.asarray(ref_logits[0]),
+                               rtol=2e-3, atol=2e-3)
+
+    # divergent continuations per slot
+    dstep = jax.jit(lambda p, t, c: serving.decode_step(p, CFG, t, c))
+    for i in range(4):
+        tok = jnp.asarray(rng.integers(0, CFG.vocab, (3,)), jnp.int32)
+        l, cache = dstep(params, tok, cache)
+        lr, ref_cache = dstep(params, tok, ref_cache)
+        np.testing.assert_allclose(np.asarray(l), np.asarray(lr),
+                                   rtol=2e-3, atol=2e-3)
+
+
+def test_prefix_sharing_unaligned_cow(setup):
+    """Prefix length not page-aligned: the partial page is copied, and
+    continuation writes into the copy never corrupt the source slot."""
+    params, prompt = setup
+    rng = np.random.default_rng(19)
+    pre = prompt[0, :40]          # 2 full pages + 8 tokens on page 2
+
+    cache = serving.init_cache(CFG, 2, pages_per_seq=8, page_size=16,
+                               dtype=jnp.float32)
+    _, cache = serving.prefill_prefix(params, CFG, pre, cache, slot=0)
+    cache = serving.share_prefix(cache, 0, [1], 40)
+    t = np.asarray(cache.page_table)
+    assert (t[1, :2] == t[0, :2]).all() and t[1, 2] != t[0, 2]
+
+    ref_cache = serving.init_cache(CFG, 2, pages_per_seq=8, page_size=16,
+                                   dtype=jnp.float32)
+    _, ref_cache = serving.prefill(
+        params, CFG, jnp.broadcast_to(pre, (2, 40)), ref_cache)
+
+    dstep = jax.jit(lambda p, t, c: serving.decode_step(p, CFG, t, c))
+    for i in range(3):
+        tok = jnp.asarray(rng.integers(0, CFG.vocab, (2,)), jnp.int32)
+        l, cache = dstep(params, tok, cache)
+        lr, ref_cache = dstep(params, tok, ref_cache)
+        np.testing.assert_allclose(np.asarray(l), np.asarray(lr),
+                                   rtol=2e-3, atol=2e-3)
+
+
+def test_prefix_sharing_int8_tier(setup):
+    """Prefix sharing over the quantized cache: per-token scales are
+    aliased/copied alongside the value pages."""
+    params, prompt = setup
+    rng = np.random.default_rng(23)
+    pre = prompt[0, :40]
+    cache = serving.init_cache(CFG, 2, pages_per_seq=8, page_size=16,
+                               dtype=jnp.int8)
+    _, cache = serving.prefill_prefix(params, CFG, pre, cache, slot=0)
+    cache = serving.share_prefix(cache, 0, [1], 40)
+    ref_cache = serving.init_cache(CFG, 2, pages_per_seq=8, page_size=16,
+                                   dtype=jnp.int8)
+    _, ref_cache = serving.prefill(
+        params, CFG, jnp.broadcast_to(pre, (2, 40)), ref_cache)
+    dstep = jax.jit(lambda p, t, c: serving.decode_step(p, CFG, t, c))
+    for i in range(2):
+        tok = jnp.asarray(rng.integers(0, CFG.vocab, (2,)), jnp.int32)
+        l, cache = dstep(params, tok, cache)
+        lr, ref_cache = dstep(params, tok, ref_cache)
+        np.testing.assert_allclose(np.asarray(l), np.asarray(lr),
                                    rtol=2e-3, atol=2e-3)

@@ -21,6 +21,7 @@ import numpy as np
 
 from tpukern.models.serving import (KVCache, _pages_per_block, decode_step,
                                     init_cache, prefill, rollback,
+                                    share_prefix,
                                     verify_step)
 from tpukern.models.speculative import _temp_probs, rejection_accept
 
@@ -55,7 +56,7 @@ class ContinuousBatcher:
                  greedy=True, temperature=1.0, seed=0,
                  top_k=0, top_p=1.0, min_p=0.0,
                  cache_dtype=jnp.bfloat16, chunked_prefill=None,
-                 ring=False):
+                 ring=False, prefix_cache=False):
         self.params = params
         self.cfg = cfg
         self.n_slots = n_slots
@@ -81,6 +82,26 @@ class ContinuousBatcher:
         self.page_size = page_size
         self.pages_per_seq = pages_per_seq
         self.max_len = cfg.max_seq if ring else pages_per_seq * page_size
+        # prefix caching (vLLM-style): admission aliases a matching
+        # prompt prefix's full pages from another slot instead of
+        # recomputing it; slots whose pages are still aliased by active
+        # slots are not recycled until the aliasers finish
+        assert not (prefix_cache and ring), "prefix cache needs flat pools"
+        self.prefix_cache = prefix_cache
+        self.slot_prompt = [None] * n_slots
+        if ring:
+            # padded prefill writes positions true_len..bucket-1; they are
+            # dead in a flat pool but WRAP in a ring (clobbering live
+            # window slots) unless the whole bucket fits one lap from
+            # start=0. Chunked admission restarts mid-ring, so its padded
+            # tail has no such guarantee — keep it off ring pools.
+            cap = pages_per_seq * page_size
+            assert max(prompt_buckets) <= cap, (
+                f"ring pool: prompt bucket {max(prompt_buckets)} > ring "
+                f"capacity {cap} would wrap padded prefill writes")
+            assert chunked_prefill is None, (
+                "chunked admission is not supported on ring pools (padded "
+                "chunk tails can wrap over live window slots)")
         self.active = np.zeros(n_slots, bool)
         self.last_tok = np.zeros(n_slots, np.int32)
         self.n_generated = np.zeros(n_slots, np.int32)
@@ -124,7 +145,19 @@ class ContinuousBatcher:
     # -- admission ---------------------------------------------------------
 
     def free_slots(self):
-        return [i for i in range(self.n_slots) if not self.active[i]]
+        idle = [i for i in range(self.n_slots) if not self.active[i]]
+        if not self.prefix_cache:
+            return idle
+        # a slot is recyclable only if no ACTIVE slot still aliases a
+        # page it owns (identity allocator: page p belongs to slot
+        # p // pages_per_seq)
+        table = np.asarray(self.cache.page_table)
+        owners = set()
+        for j in range(self.n_slots):
+            if self.active[j]:
+                owners.update(int(p) // self.pages_per_seq
+                              for p in table[j])
+        return [i for i in idle if i not in owners or self.active[i]]
 
     def _prefill_fn(self, bucket, cfg=None):
         """Jitted single-slot prefill, one compilation per bucket length:
@@ -197,6 +230,53 @@ class ContinuousBatcher:
             start += true_n
         return logits
 
+    def _find_shared_prefix(self, prompt_ids, slot):
+        """Longest common prompt prefix with any slot whose pages are
+        still resident (active or not-yet-recycled); returns
+        (src_slot, share_len) or (None, 0). share_len is capped at
+        len(prompt) - 1 so admission always scores >= 1 real token."""
+        best, best_n = None, 0
+        for j in range(self.n_slots):
+            pj = self.slot_prompt[j]
+            if j == slot or pj is None:
+                continue
+            n = int(np.minimum(len(pj), len(prompt_ids)))
+            eq = pj[:n] == prompt_ids[:n]
+            common = int(np.argmin(eq)) if not eq.all() else n
+            common = min(common, len(prompt_ids) - 1)
+            if common > best_n:
+                best, best_n = j, common
+        # below a page there is nothing to alias — not worth the bookkeeping
+        return (best, best_n) if best_n >= self.page_size else (None, 0)
+
+    def _admit_shared(self, request_id, prompt_ids, slot, src, share):
+        """share_prefix + score the remaining prompt tokens through the
+        chunked-admission path (verify_step on a single-slot view)."""
+        self.cache = share_prefix(self.cache, src, [slot], share)
+        rest = prompt_ids[share:]
+        C = self.chunk or max(64, len(rest))
+        fn = self._chunked_admit_fn()
+        start = share
+        logits = None
+        for off in range(0, len(rest), C):
+            piece = rest[off:off + C]
+            true_n = len(piece)
+            padded = np.zeros(C, np.int32)
+            padded[:true_n] = piece
+            logits, self.cache = fn(
+                self.params, jnp.asarray(padded[None]),
+                jnp.int32(true_n), self.cache, jnp.int32(slot),
+                jnp.int32(start))
+            start += true_n
+        self.active[slot] = True
+        self.n_generated[slot] = 0
+        self.host_len[slot] = len(prompt_ids)
+        self.slot_request[slot] = request_id
+        self.slot_prompt[slot] = prompt_ids
+        self.outputs[request_id] = []
+        self.last_tok[slot] = int(self._sample(logits[None])[0])
+        return slot
+
     def add_request(self, request_id, prompt_ids):
         """Admit a prompt into a free slot (raises if none free)."""
         slots = self.free_slots()
@@ -206,6 +286,21 @@ class ContinuousBatcher:
         prompt_ids = np.asarray(prompt_ids, np.int32)
         true_len = len(prompt_ids)
         assert true_len + self.max_new <= self.max_len, "prompt too long"
+        if self.prefix_cache:
+            src, share = self._find_shared_prefix(prompt_ids, slot)
+            if src is not None:
+                return self._admit_shared(request_id, prompt_ids, slot,
+                                          src, share)
+            # no share: reset a possibly-aliased recycled row to its
+            # identity pages before ordinary admission writes
+            import dataclasses as _dc
+            pps = self.pages_per_seq
+            own = jnp.arange(slot * pps, (slot + 1) * pps,
+                             dtype=jnp.int32)
+            self.cache = _dc.replace(
+                self.cache,
+                page_table=self.cache.page_table.at[slot].set(own))
+            self.slot_prompt[slot] = prompt_ids
         if self.chunk is not None and true_len > self.chunk:
             logits = self._admit_chunked(prompt_ids, slot)
             self.active[slot] = True

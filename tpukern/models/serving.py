@@ -427,6 +427,74 @@ def verify_step(params, cfg: Config, tokens, cache: KVCache,
     return logits, new_cache
 
 
+def share_prefix(cache: KVCache, src_slot, dst_slots, prefix_len):
+    """vLLM-style prefix caching: alias src_slot's first `prefix_len`
+    cache positions into each dst slot via the page table — full pages
+    are shared read-only (one physical copy serves every request with
+    the same prompt prefix); the trailing partial page is copied into
+    the dst slot's own page (copy-on-write: the continuation writes
+    into it). dst lengths are set to prefix_len; dst decoding proceeds
+    normally from there.
+
+    Safe because serving only ever writes at positions >= length: the
+    aliased full pages are read-only for dst slots by construction.
+    Incompatible with ring pools (wrapping would overwrite shared
+    pages). src_slot/dst_slots/prefix_len are host ints (the batcher's
+    admission path is host-driven)."""
+    assert not cache.ring, "prefix sharing needs a non-ring pool"
+    page = cache.page_size
+    pps = cache.page_table.shape[1]
+    full, rem = divmod(int(prefix_len), page)
+    table = cache.page_table
+    k_pages, v_pages = cache.k_pages, cache.v_pages
+    k_scales, v_scales = cache.k_scales, cache.v_scales
+    lengths = cache.lengths
+    assert src_slot not in dst_slots
+    src_pages = table[src_slot, :full]
+    for d in dst_slots:
+        # reset the dst row to its identity pages first: a recycled slot
+        # may still carry aliases from an earlier share, and writes must
+        # land in pages this slot owns
+        own = jnp.arange(d * pps, (d + 1) * pps, dtype=jnp.int32)
+        table = table.at[d].set(own)
+        if full:
+            table = table.at[d, :full].set(src_pages)
+        if rem:
+            sp = table[src_slot, full]
+            dp = d * pps + full             # dst's own physical page
+            k_pages = k_pages.at[:, :, dp, :rem].set(
+                k_pages[:, :, sp, :rem])
+            v_pages = v_pages.at[:, :, dp, :rem].set(
+                v_pages[:, :, sp, :rem])
+            if cache.quantized:
+                k_scales = k_scales.at[:, :, dp, :rem].set(
+                    k_scales[:, :, sp, :rem])
+                v_scales = v_scales.at[:, :, dp, :rem].set(
+                    v_scales[:, :, sp, :rem])
+        lengths = lengths.at[d].set(prefix_len)
+    return dataclasses.replace(
+        cache, k_pages=k_pages, v_pages=v_pages, page_table=table,
+        lengths=lengths, k_scales=k_scales, v_scales=v_scales)
+
+
+def prefill_prefix(params, cfg: Config, prompt, cache: KVCache, slot=0,
+                   tp_axis=None):
+    """Prefill ONE slot's prompt on a single-slot view of the shared
+    cache (the batcher's admission pattern) — the producer half of
+    share_prefix. Returns (next-token logits (vocab,), cache)."""
+    view = dataclasses.replace(
+        cache,
+        page_table=jax.lax.dynamic_slice_in_dim(
+            cache.page_table, slot, 1),
+        lengths=jnp.zeros((1,), jnp.int32))
+    logits, view = prefill(params, cfg, prompt[None], view,
+                           tp_axis=tp_axis)
+    return logits[0], dataclasses.replace(
+        cache, k_pages=view.k_pages, v_pages=view.v_pages,
+        lengths=cache.lengths.at[slot].set(prompt.shape[0]),
+        k_scales=view.k_scales, v_scales=view.v_scales)
+
+
 def rollback(cache: KVCache, new_lengths):
     """Functional cache rewind: positions beyond new_lengths become dead
     (they're overwritten before ever being read — the kernels mask
