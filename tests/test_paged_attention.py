@@ -216,6 +216,45 @@ def test_paged_decode_int8_kv_mxu(rng):
                                rtol=3e-2, atol=3e-2)
 
 
+def test_paged_decode_int8_pv(rng):
+    """All-int8 MXU decode: pv_int8 quantizes the softmax row on-chip
+    (after folding V's per-token scale) and contracts it s8s8s32 against
+    the raw int8 V pages — no (bk, D) V cast. Output within the int8-KV
+    tolerance plus ~7-bit p resolution."""
+    from tpukern.ops.paged_attention import (paged_attention_quantized,
+                                             paged_attention_ref,
+                                             quantize_pages)
+    B, Hq, Hkv, D = 2, 4, 2, 64
+    page, P, pages_per_seq = 128, 16, 4
+    q = jnp.asarray(rng.standard_normal((B, Hq, D)), jnp.float32)
+    k_pages = jnp.asarray(rng.standard_normal((Hkv, P, page, D)),
+                          jnp.float32)
+    v_pages = jnp.asarray(rng.standard_normal((Hkv, P, page, D)),
+                          jnp.float32)
+    lengths = jnp.asarray([300, 450], jnp.int32)
+    table = jnp.asarray(
+        rng.permutation(P)[: B * pages_per_seq], jnp.int32
+    ).reshape(B, pages_per_seq)
+
+    kq, ks = quantize_pages(k_pages)
+    vq, vs = quantize_pages(v_pages)
+    ref = paged_attention_ref(q, k_pages, v_pages, lengths, table)
+    base = paged_attention_quantized(
+        q.astype(jnp.bfloat16), kq, ks, vq, vs, lengths, table,
+        pages_per_block=2)
+    for q_int8 in (False, True):
+        out = paged_attention_quantized(
+            q.astype(jnp.bfloat16), kq, ks, vq, vs, lengths, table,
+            pages_per_block=2, q_int8=q_int8, pv_int8=True)
+        np.testing.assert_allclose(np.asarray(out, np.float64),
+                                   np.asarray(ref, np.float64),
+                                   rtol=7e-2, atol=7e-2)
+        # and it must stay close to the cast-dequant int8 path
+        np.testing.assert_allclose(np.asarray(out, np.float64),
+                                   np.asarray(base, np.float64),
+                                   rtol=4e-2, atol=4e-2)
+
+
 def test_paged_decode_alibi(rng):
     """ALiBi decode (prefix_prefill_alibi analog): linear position bias
     slope_h * (k_pos - q_pos) per q head, across a GQA group's rows."""
@@ -436,10 +475,13 @@ def test_paged_prefix_prefill_int8_kv(rng):
     kq, ks = pa.quantize_pages(k_pages)
     vq, vs = pa.quantize_pages(v_pages)
     ref = pa.paged_prefill_ref(q, k_pages, v_pages, lengths, table)
-    for q_int8, tol in ((False, 5e-2), (True, 6e-2)):
+    for q_int8, pv_int8, tol in ((False, False, 5e-2),
+                                 (True, False, 6e-2),
+                                 (False, True, 7e-2),
+                                 (True, True, 7e-2)):
         out = pa.paged_prefill_attention_quantized(
             q.astype(jnp.bfloat16), kq, ks, vq, vs, lengths, table,
-            pages_per_block=2, q_int8=q_int8)
+            pages_per_block=2, q_int8=q_int8, pv_int8=pv_int8)
         np.testing.assert_allclose(np.asarray(out, np.float64),
                                    np.asarray(ref, np.float64),
                                    rtol=tol, atol=tol)

@@ -141,6 +141,29 @@ def test_int8_cache_logit_accuracy(setup):
     assert np.abs(a - b).max() / denom < 0.15, np.abs(a - b).max()
 
 
+def test_int8_cache_pv_int8_logit_accuracy(setup):
+    """Config.pv_int8 (all-int8 MXU decode/verify) stays within the
+    quantized-tier logit tolerance of the bf16 cache."""
+    import dataclasses
+    params, prompts = setup
+    prompt = jnp.asarray(prompts[0][None])
+    cfg_pv = dataclasses.replace(CFG, pv_int8=True)
+    logits = {}
+    for cfg, dt in ((CFG, jnp.bfloat16), (cfg_pv, jnp.int8)):
+        cache = serving.init_cache(cfg, 1, 2, 128, dtype=dt)
+        lg, cache = serving.prefill(params, cfg, prompt, cache)
+        tok = jnp.argmax(lg, -1).astype(jnp.int32)
+        lg2, cache = serving.decode_step(params, cfg, tok, cache)
+        # verify_step exercises the prefill-kernel pv_int8 path too
+        cand = jnp.asarray([[3, 5, 7]], jnp.int32)
+        vl, _ = serving.verify_step(params, cfg, cand, cache)
+        logits[dt] = (np.asarray(lg2, np.float64),
+                      np.asarray(vl, np.float64))
+    for a, b in zip(logits[jnp.bfloat16], logits[jnp.int8]):
+        denom = max(1.0, float(np.abs(a).max()))
+        assert np.abs(a - b).max() / denom < 0.15, np.abs(a - b).max()
+
+
 def test_int8_cache_verify_and_rollback(setup):
     """verify_step + rollback on the quantized tier: the speculative
     round-trip preserves scales and lengths."""

@@ -344,7 +344,8 @@ def decode_step(params, cfg: Config, last_tokens, cache: KVCache,
                 v_scales[li], cache.lengths + 1, cache.page_table,
                 pages_per_block=ppb, window=cfg.window,
                 softcap=cfg.softcap, ring=cache.ring, sinks=cfg.sinks,
-                q_int8=k_pages.dtype == jnp.int8)
+                q_int8=k_pages.dtype == jnp.int8,
+                pv_int8=cfg.pv_int8 and v_pages.dtype == jnp.int8)
         else:
             o = paged_attention(q[:, :, 0], k_pages[li], v_pages[li],
                                 cache.lengths + 1, cache.page_table,
@@ -400,7 +401,8 @@ def verify_step(params, cfg: Config, tokens, cache: KVCache,
                 start + T, cache.page_table, pages_per_block=ppb,
                 window=cfg.window, softcap=cfg.softcap, ring=cache.ring,
                 sinks=cfg.sinks,
-                q_int8=k_pages.dtype == jnp.int8)
+                q_int8=k_pages.dtype == jnp.int8,
+                pv_int8=cfg.pv_int8 and v_pages.dtype == jnp.int8)
         else:
             o = paged_prefill_attention(q, k_pages[li], v_pages[li],
                                         start + T, cache.page_table,

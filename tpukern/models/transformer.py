@@ -73,6 +73,11 @@ class Config:
     # and the serving stack honor it; the training step rejects it (the
     # backward kernels don't carry the sink mask).
     sinks: Any = None
+    # all-int8 MXU serving decode (int8 KV pools only): also run the PV
+    # matmul s8s8s32 by quantizing the softmax row on-chip against the
+    # raw int8 V pages — no (bk, D) V dequant cast. Adds ~7-bit p
+    # resolution on top of the int8-KV tolerance (BENCH_NOTES).
+    pv_int8: bool = False
 
     @property
     def head_dim(self):

@@ -36,8 +36,9 @@ NEG_BIG = -0.7 * 3.4e38
 
 def _decode_kernel(lengths_ref, tables_ref, *refs,
                    page_size, pages_per_block, mask_value,
-                   quantized=False, q_int8=False, sm_D=None, window=None,
-                   softcap=None, has_alibi=False, ring=None, sinks=0):
+                   quantized=False, q_int8=False, pv_int8=False, sm_D=None,
+                   window=None, softcap=None, has_alibi=False, ring=None,
+                   sinks=0):
     slopes_ref = None
     if has_alibi:
         # per-q-head ALiBi slopes, (Hq,) f32 in SMEM (first input)
@@ -215,21 +216,43 @@ def _decode_kernel(lengths_ref, tables_ref, *refs,
         p = jnp.exp(s - m_next)
         l_s[:, :1] = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
         m_s[:, :1] = m_next
-        if quantized:
-            # fold V's per-token scale into p's columns (tiny) and cast V
-            # (o_ref.dtype, NOT q.dtype — q may be int8 on the MXU path)
-            v = v_buf[slot].astype(o_ref.dtype).reshape(bk, D)
+        if quantized and pv_int8:
+            # s8s8s32 PV pass: fold V's per-token scale into p's columns
+            # (a (group, bk) lane multiply), row-quantize p ON-CHIP (p >=
+            # 0, so amax is a plain row max), and contract int8 p against
+            # the RAW int8 V pages — no (bk, D) V dequant cast at all,
+            # completing the all-int8 MXU decode started by q_int8. p's
+            # per-row scale folds back into the f32 accumulator after the
+            # dot. ~7-bit p resolution; error is relative to each row's
+            # largest p*v_scale product, i.e. bounded by the terms that
+            # dominate the softmax sum.
             p = apply_row_scale(p, vs_buf[slot])
+            amax = jnp.max(p, axis=-1, keepdims=True)
+            amax = jnp.where(amax <= 0.0, 1.0, amax)
+            pq = jnp.round(p * (127.0 / amax)).astype(jnp.int8)
+            pv = jax.lax.dot_general(
+                pq, v_buf[slot].reshape(bk, D),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            acc_s[...] = (acc_s[...] * alpha
+                          + pv.astype(jnp.float32) * (amax * (1.0 / 127.0)))
         else:
-            v = v_buf[slot].reshape(bk, D)
-        acc_s[...] = (acc_s[...] * alpha
-                      + jax.lax.dot_general(
-                          p.astype(v.dtype), v,
-                          dimension_numbers=(((1,), (0,)), ((), ())),
-                          preferred_element_type=jnp.float32,
-                          precision=(jax.lax.Precision.HIGHEST
-                                     if v.dtype == jnp.float32
-                                     else None)))
+            if quantized:
+                # fold V's per-token scale into p's columns (tiny) and
+                # cast V (o_ref.dtype, NOT q.dtype — q may be int8 on the
+                # MXU score path)
+                v = v_buf[slot].astype(o_ref.dtype).reshape(bk, D)
+                p = apply_row_scale(p, vs_buf[slot])
+            else:
+                v = v_buf[slot].reshape(bk, D)
+            acc_s[...] = (acc_s[...] * alpha
+                          + jax.lax.dot_general(
+                              p.astype(v.dtype), v,
+                              dimension_numbers=(((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32,
+                              precision=(jax.lax.Precision.HIGHEST
+                                         if v.dtype == jnp.float32
+                                         else None)))
 
     @pl.when(blk == n_blk - 1)
     def _():
@@ -364,9 +387,9 @@ def quantize_pages(pages, dtype="int8"):
 
 def paged_attention_quantized(q, k_pages, k_scales, v_pages, v_scales,
                               lengths, page_table, *, pages_per_block=4,
-                              q_int8=False, window=None, softcap=None,
-                              alibi_slopes=None, ring=False, sinks=None,
-                              interpret=None):
+                              q_int8=False, pv_int8=False, window=None,
+                              softcap=None, alibi_slopes=None, ring=False,
+                              sinks=None, interpret=None):
     """Decode attention against a quantized paged KV cache: pages are
     1-byte values (int8 or float8_e4m3fn — half the DMA traffic of
     bf16), dequantized in VMEM with their per-token scales right after
@@ -380,6 +403,12 @@ def paged_attention_quantized(q, k_pages, k_scales, v_pages, v_scales,
     score matmul runs s8s8s32 on the MXU — no per-block (bk, D) K
     dequant cast at all; q and K scales fold into the f32 score row.
     Adds q's ~0.4% row quantization error on top of the KV tolerance.
+
+    pv_int8=True (int8 pages only) also runs the PV matmul s8s8s32: the
+    softmax row p is quantized on-chip per row (after folding V's
+    per-token scale in) and contracted against the raw int8 V pages —
+    no (bk, D) V dequant cast either. With q_int8 the whole decode MXU
+    path is int8. Adds ~7-bit p resolution on top of the KV tolerance.
     """
     from tpukern.core import round_up
     B, Hq, D = q.shape
@@ -392,6 +421,8 @@ def paged_attention_quantized(q, k_pages, k_scales, v_pages, v_scales,
     n_blk = pages_per_seq // pages_per_block
     if q_int8:
         assert k_pages.dtype == jnp.int8, "q_int8 needs int8 K pages"
+    if pv_int8:
+        assert v_pages.dtype == jnp.int8, "pv_int8 needs int8 V pages"
     sinks = int(sinks or 0)
     assert sinks == 0 or window is not None, "sinks require a window"
     ring_tokens = pages_per_seq * page_size if ring else None
@@ -448,8 +479,9 @@ def paged_attention_quantized(q, k_pages, k_scales, v_pages, v_scales,
     kernel = functools.partial(
         _decode_kernel, page_size=page_size,
         pages_per_block=pages_per_block, mask_value=NEG_BIG,
-        quantized=True, q_int8=q_int8, window=window, softcap=softcap,
-        has_alibi=has_alibi, ring=ring_tokens, sinks=sinks, sm_D=D)
+        quantized=True, q_int8=q_int8, pv_int8=pv_int8, window=window,
+        softcap=softcap, has_alibi=has_alibi, ring=ring_tokens,
+        sinks=sinks, sm_D=D)
 
     args = [lengths.astype(jnp.int32),
             page_table.reshape(-1).astype(jnp.int32)]
@@ -472,7 +504,8 @@ def paged_attention_quantized(q, k_pages, k_scales, v_pages, v_scales,
 
 def _prefix_kernel(lengths_ref, tables_ref, *refs, page_size,
                    pages_per_block, mask_value, n_tok, sm_D,
-                   quantized=False, q_int8=False, window=None,
+                   quantized=False, q_int8=False, pv_int8=False,
+                   window=None,
                    softcap=None, has_alibi=False, ring=None, sinks=0):
     """Multi-token causal decode body: rows are (group, t) pairs flattened
     to group*n_tok; row (g, t) may see pages positions < lengths[b] - n_tok
@@ -624,19 +657,33 @@ def _prefix_kernel(lengths_ref, tables_ref, *refs, page_size,
         p = jnp.exp(s - m_next)
         l_s[:, :1] = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
         m_s[:, :1] = m_next
-        if quantized:
-            v = v_buf[slot].astype(o_ref.dtype).reshape(bk, D)
+        if quantized and pv_int8:
+            # s8s8s32 PV pass (see _decode_kernel): on-chip per-row p
+            # quantization against the raw int8 V pages
             p = apply_row_scale(p, vs_buf[slot])
+            amax = jnp.max(p, axis=-1, keepdims=True)
+            amax = jnp.where(amax <= 0.0, 1.0, amax)
+            pq = jnp.round(p * (127.0 / amax)).astype(jnp.int8)
+            pv = jax.lax.dot_general(
+                pq, v_buf[slot].reshape(bk, D),
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.int32)
+            acc_s[...] = (acc_s[...] * alpha
+                          + pv.astype(jnp.float32) * (amax * (1.0 / 127.0)))
         else:
-            v = v_buf[slot].reshape(bk, D)
-        acc_s[...] = (acc_s[...] * alpha
-                      + jax.lax.dot_general(
-                          p.astype(v.dtype), v,
-                          dimension_numbers=(((1,), (0,)), ((), ())),
-                          preferred_element_type=jnp.float32,
-                          precision=(jax.lax.Precision.HIGHEST
-                                     if v.dtype == jnp.float32
-                                     else None)))
+            if quantized:
+                v = v_buf[slot].astype(o_ref.dtype).reshape(bk, D)
+                p = apply_row_scale(p, vs_buf[slot])
+            else:
+                v = v_buf[slot].reshape(bk, D)
+            acc_s[...] = (acc_s[...] * alpha
+                          + jax.lax.dot_general(
+                              p.astype(v.dtype), v,
+                              dimension_numbers=(((1,), (0,)), ((), ())),
+                              preferred_element_type=jnp.float32,
+                              precision=(jax.lax.Precision.HIGHEST
+                                         if v.dtype == jnp.float32
+                                         else None)))
 
     @pl.when(blk == n_blk - 1)
     def _():
@@ -746,6 +793,7 @@ def paged_prefill_attention(q, k_pages, v_pages, lengths, page_table,
 def paged_prefill_attention_quantized(q, k_pages, k_scales, v_pages,
                                       v_scales, lengths, page_table, *,
                                       pages_per_block=4, q_int8=False,
+                                      pv_int8=False,
                                       window=None, softcap=None,
                                       alibi_slopes=None, ring=False,
                                       sinks=None, interpret=None):
@@ -753,8 +801,9 @@ def paged_prefill_attention_quantized(q, k_pages, k_scales, v_pages,
     (1-byte pages + per-token scales, as paged_attention_quantized) —
     the verification/chunked-prefill step of an int8/fp8-KV serving
     stack. q_int8=True additionally runs the score dot s8s8s32 on the
-    MXU (int8 pages only). Args as paged_prefill_attention plus the
-    scale pools."""
+    MXU (int8 pages only); pv_int8=True runs the PV dot s8s8s32 too
+    (on-chip per-row p quantization against the raw int8 V pages). Args
+    as paged_prefill_attention plus the scale pools."""
     from tpukern.core import round_up
     B, Hq, T, D = q.shape
     Hkv, P, page_size, Dp = k_pages.shape
@@ -766,6 +815,8 @@ def paged_prefill_attention_quantized(q, k_pages, k_scales, v_pages,
     n_blk = pages_per_seq // pages_per_block
     if q_int8:
         assert k_pages.dtype == jnp.int8, "q_int8 needs int8 K pages"
+    if pv_int8:
+        assert v_pages.dtype == jnp.int8, "pv_int8 needs int8 V pages"
     sinks = int(sinks or 0)
     assert sinks == 0 or window is not None, "sinks require a window"
     if ring:
@@ -823,7 +874,7 @@ def paged_prefill_attention_quantized(q, k_pages, k_scales, v_pages,
     kernel = functools.partial(
         _prefix_kernel, page_size=page_size,
         pages_per_block=pages_per_block, mask_value=NEG_BIG,
-        n_tok=T, sm_D=D, quantized=True, q_int8=q_int8,
+        n_tok=T, sm_D=D, quantized=True, q_int8=q_int8, pv_int8=pv_int8,
         window=window, softcap=softcap, has_alibi=has_alibi,
         ring=pages_per_seq * page_size if ring else None, sinks=sinks)
 
@@ -972,3 +1023,6 @@ register("paged_attention", "paged_decode_int8kv_mxu",
 register("paged_attention", "paged_decode_fp8kv",
          ref=paged_attention_ref)(
     lambda *a, **kw: _paged_quantized(*a, dtype="fp8", **kw))
+register("paged_attention", "paged_decode_int8kv_mxu_full",
+         ref=paged_attention_ref)(
+    lambda *a, **kw: _paged_quantized(*a, q_int8=True, pv_int8=True, **kw))
