@@ -1,24 +1,31 @@
-"""Headline benchmark: BF16 HGEMM at 4096^3 — best tpukern config vs best
-XLA dot_general config.
+"""Headline benchmarks (driver-graded): HGEMM and FlashAttention.
 
-North-star (BASELINE.json): >=95% of XLA `dot_general` throughput. Prints
-ONE JSON line: {"metric", "value", "unit", "vs_baseline"} where value =
-100 * best_tpukern_TFLOPS / best_XLA_TFLOPS over both output dtypes
-(bf16-out and f32-out), i.e. best-vs-best at identical input contract
-(bf16 x bf16 inputs, f32 accumulation).
+Emits TWO JSON lines:
+  1. {"metric": "fa_bf16_4x48x8192x64_pct_of_best_tuned_baseline", ...}
+     — best tpukern FA forward vs the best TUNED external baseline
+     (splash attention and jax.experimental flash_attention, both at
+     their best block sizes) at the reference's flagship attention shape
+     (B=4, H=48, S=8192, D=64 bf16 non-causal; reference README.md:83-89).
+  2. {"metric": "hgemm_bf16_4096_best_pct_of_best_xla", ...} — best
+     tpukern GEMM config vs best XLA dot_general config at 4096^3
+     (BASELINE.json north-star: >=95%). This line is LAST (the driver's
+     primary parse target, same as rounds 1-2) and carries the FA number
+     and the per-pass ratio floors in its extra keys so one parsed object
+     holds the whole story.
 
 Timing is the on-device fori_loop slope method (harness.bench.device_time)
-— host wall-clock is unreliable through the remote TPU tunnel. The sweep
-is the TPU analog of the reference's stages/swizzle sweep
-(kernels/hgemm/hgemm.py:363+).
+— host wall-clock is unreliable through the remote TPU tunnel.
 
 Phase robustness: the shared tunnel's throughput drifts by tens of percent
 between "phases" (BENCH_NOTES.md). A single serial pass can time XLA in a
 good phase and the Pallas candidates in a bad one (this sank the round-1
 artifact: 84% recorded vs 106% measured same-phase). So measurement is
-INTERLEAVED A/B over several passes — every pass re-times the XLA
-baselines next to the Pallas candidates — and each config keeps its best
-across passes, so both sides of the ratio get a good-phase sample.
+INTERLEAVED A/B over several passes — every pass re-times the baselines
+next to the Pallas candidates, each config keeps its best within the pass,
+and the pass ratio pairs same-phase samples. Passes whose baseline sample
+is far below the cross-pass median ran in a sick tunnel phase and are
+gated out (the per-pass ratios, retained and dropped, are all in the JSON
+so the floor is visible — VERDICT r2 item 2).
 """
 
 import json
@@ -30,13 +37,14 @@ import jax
 import jax.numpy as jnp
 
 
-def _time(fn, *args, retries=3, jitter=False):
+def _time(fn, *args, retries=3, jitter=False, iters_lo=8, iters_hi=40):
     import time as _time_mod
     from tpukern.harness.bench import device_time
     last = None
     for attempt in range(retries + 1):
         try:
-            return device_time(fn, *args, iters_lo=8, iters_hi=40,
+            return device_time(fn, *args, iters_lo=iters_lo,
+                               iters_hi=iters_hi,
                                jitter_kw="jitter" if jitter else None)
         except Exception as e:  # transient remote-compile 500s happen
             last = e
@@ -45,17 +53,94 @@ def _time(fn, *args, retries=3, jitter=False):
     raise last
 
 
-def main():
+class Suite:
+    """Interleaved A/B passes of (name, fn, kind) candidates, where kind
+    'base' is the baseline side and 'pk' the tpukern side of the ratio."""
+
+    def __init__(self, candidates, flops, peak_tflops, jitter_pk=False,
+                 iters=(8, 40)):
+        self.candidates = candidates
+        self.kind = {name: k for name, _, k in candidates}
+        self.flops = flops
+        self.peak = peak_tflops
+        self.jitter_pk = jitter_pk
+        self.iters = iters
+        self.best = {}      # name -> best TFLOPS over all passes
+        self.passes = []    # list of {"ratio":, "base":, "pk":, ...}
+
+    def _tf(self, t):
+        return self.flops / t / 1e12
+
+    def measure(self, name, fn, args):
+        jit = self.jitter_pk and self.kind[name] == "pk"
+        t = self._tf(_time(fn, *args, jitter=jit,
+                           iters_lo=self.iters[0], iters_hi=self.iters[1]))
+        if t > 1.03 * self.peak:
+            # above chip peak = the slope timing glitched (RPC contention
+            # shrinking the window); never keep an impossible sample
+            t2 = self._tf(_time(fn, *args, jitter=jit,
+                                iters_lo=self.iters[0],
+                                iters_hi=self.iters[1]))
+            print(f"#   {name} -> {t:.1f} ABOVE PEAK, remeasured {t2:.1f}",
+                  file=sys.stderr)
+            t = t2
+        if t > 1.03 * self.peak:
+            return None
+        return t
+
+    def run_pass(self, cands, args, tag, reps=1):
+        got = {}
+        order = list(cands) * reps
+        for name, fn, _k in order:
+            try:
+                t = self.measure(name, fn, args)
+                if t is None:
+                    print(f"# [{tag}] {name} discarded (above peak)",
+                          file=sys.stderr)
+                    continue
+                got[name] = max(got.get(name, 0.0), t)
+                self.best[name] = max(self.best.get(name, 0.0), t)
+                print(f"# [{tag}] {name} -> {t:.1f} TFLOPS",
+                      file=sys.stderr)
+            except Exception as e:
+                print(f"# [{tag}] {name} failed: {type(e).__name__}: "
+                      f"{str(e)[:160]}", file=sys.stderr)
+        base = [(v, n) for n, v in got.items() if self.kind[n] == "base"]
+        pk_ = [(v, n) for n, v in got.items() if self.kind[n] == "pk"]
+        if not base or not pk_:
+            return None
+        (bv, bn), (pv, pn) = max(base), max(pk_)
+        r = pv / bv
+        print(f"# [{tag}] ratio {100 * r:.1f}% ({pn} {pv:.1f} / {bn} "
+              f"{bv:.1f})", file=sys.stderr)
+        rec = {"tag": tag, "ratio": round(100 * r, 2),
+               "base": round(bv, 1), "pk": round(pv, 1)}
+        self.passes.append(rec)
+        return rec
+
+    def gate(self, min_frac=0.92):
+        """Drop passes whose baseline sample sits far below the cross-
+        pass median — a sick tunnel phase distorts the ratio in either
+        direction. Everything (kept + dropped) stays in the JSON."""
+        if len(self.passes) < 3:
+            for p in self.passes:
+                p["kept"] = True
+            return [p for p in self.passes]
+        med = float(np.median([p["base"] for p in self.passes]))
+        for p in self.passes:
+            p["kept"] = p["base"] >= min_frac * med
+        kept = [p for p in self.passes if p["kept"]]
+        return kept if kept else list(self.passes)
+
+
+def gemm_suite():
+    from tpukern.harness.bench import device_peaks
     from tpukern.ops.matmul import matmul
 
     M = N = K = 4096
     rng = np.random.default_rng(0)
     a = jnp.asarray(rng.standard_normal((M, K)), jnp.bfloat16)
     b = jnp.asarray(rng.standard_normal((K, N)), jnp.bfloat16)
-    flops = 2 * M * N * K
-
-    def tf(t):
-        return flops / t / 1e12
 
     def pk(name, **cfg):
         # Pallas candidates accept the timing loop's `jitter` scalar (see
@@ -68,11 +153,11 @@ def main():
     candidates = [
         ("xla_bf16out", lambda a, b: jnp.dot(
             a, b, preferred_element_type=jnp.float32).astype(jnp.bfloat16),
-         "xla"),
+         "base"),
         pk("scratch_bf16out_1024x1024x512",
            block_m=1024, block_n=1024, block_k=512),
         ("xla_f32out", lambda a, b: jnp.dot(
-            a, b, preferred_element_type=jnp.float32), "xla"),
+            a, b, preferred_element_type=jnp.float32), "base"),
         pk("accio_f32out_1024x1024x512",
            block_m=1024, block_n=1024, block_k=512, acc_in_out=True),
         pk("scratch_bf16out_512x512x2048",
@@ -82,76 +167,105 @@ def main():
         pk("eager_bf16out_1024x1024x512",
            block_m=1024, block_n=1024, block_k=512, eager_store=True),
     ]
-
-    kind = {name: k for name, _, k in candidates}
-    best = {}   # name -> best TFLOPS over all passes (reporting only)
-
-    from tpukern.harness.bench import device_peaks
     peak = device_peaks()["bf16_tflops"]
+    suite = Suite(candidates, 2 * M * N * K, peak, jitter_pk=True)
 
-    def run_pass(cands, tag):
-        got = {}
-        for name, fn, _k in cands:
-            try:
-                t = tf(_time(fn, a, b, jitter=_k == "pk"))
-                if t > 1.03 * peak:
-                    # above chip peak = the slope timing glitched (RPC
-                    # contention shrinking the window); never keep an
-                    # impossible sample
-                    t2 = tf(_time(fn, a, b, jitter=_k == "pk"))
-                    print(f"# [{tag}] {name} -> {t:.1f} ABOVE PEAK, "
-                          f"remeasured {t2:.1f}", file=sys.stderr)
-                    t = t2
-                if t > 1.03 * peak:
-                    print(f"# [{tag}] {name} discarded (above peak)",
-                          file=sys.stderr)
-                    continue
-                got[name] = t
-                best[name] = max(best.get(name, 0.0), t)
-                print(f"# [{tag}] {name} -> {t:.1f} TFLOPS", file=sys.stderr)
-            except Exception as e:
-                print(f"# [{tag}] {name} failed: {type(e).__name__}: "
-                      f"{str(e)[:160]}", file=sys.stderr)
-        return got
+    # pass 1: everything once (picks the top configs; compiles are cached
+    # for the short passes)
+    suite.run_pass(candidates, (a, b), "gemm-pass1")
 
-    def pass_ratio(got, tag):
-        """Same-pass best-vs-best: pairing XLA and Pallas measurements
-        taken minutes apart removes the tunnel's common-mode phase drift
-        from the ratio."""
-        xla = [(v, n) for n, v in got.items() if kind[n] == "xla"]
-        pk_ = [(v, n) for n, v in got.items() if kind[n] == "pk"]
-        if not xla or not pk_:
-            return None
-        (xv, xn), (pv, pn) = max(xla), max(pk_)
-        r = pv / xv
-        print(f"# [{tag}] ratio {100 * r:.1f}% ({pn} {pv:.1f} / {xn} "
-              f"{xv:.1f})", file=sys.stderr)
-        return r
-
-    ratios = []
-    # pass 1: everything, XLA interleaved at front/middle
-    got = run_pass(candidates, "pass1")
-    r = pass_ratio(got, "pass1")
-    ratios += [r] if r else []
-
-    # passes 2-3: baselines + the two best Pallas configs, interleaved
-    top_pk = sorted((n for n in best if kind[n] == "pk"),
-                    key=lambda n: -best[n])[:2]
+    # passes 2-5: baselines + the two best Pallas configs, ABAB x2 per
+    # pass so each side's best-of-pass comes from adjacent samples
+    top_pk = sorted((n for n in suite.best if suite.kind[n] == "pk"),
+                    key=lambda n: -suite.best[n])[:2]
     short = [c for c in candidates
-             if kind[c[0]] == "xla" or c[0] in top_pk]
-    for i in (2, 3):
-        got = run_pass(short, f"pass{i}")
-        r = pass_ratio(got, f"pass{i}")
-        ratios += [r] if r else []
+             if suite.kind[c[0]] == "base" or c[0] in top_pk]
+    for i in (2, 3, 4, 5):
+        suite.run_pass(short, (a, b), f"gemm-pass{i}", reps=2)
+    return suite
 
-    pct = 100.0 * max(ratios) if ratios else 0.0
-    print(f"# headline: max same-pass ratio over {len(ratios)} passes = "
-          f"{pct:.1f}%", file=sys.stderr)
+
+def fa_suite():
+    from tpukern.harness.bench import device_peaks
+    from tpukern.core import registry
+    from tpukern.ops.attention import flash_attention
+
+    B, H, S, D = 4, 48, 8192, 64
+    rng = np.random.default_rng(0)
+    q = jnp.asarray(rng.standard_normal((B, H, S, D)), jnp.bfloat16)
+    k = jnp.asarray(rng.standard_normal((B, H, S, D)), jnp.bfloat16)
+    v = jnp.asarray(rng.standard_normal((B, H, S, D)), jnp.bfloat16)
+
+    splash_tuned = registry.get("attention", "mha_splash_tuned").fn
+
+    def jax_flash_tuned(q, k, v):
+        # the official jax flash kernel at its best tuned blocks (its
+        # DEFAULT blocks run ~8 TFLOPS at this shape — a misconfigured
+        # baseline, not a win; BENCH_NOTES r1)
+        import math
+        from jax.experimental.pallas.ops.tpu import (
+            flash_attention as _jax_fa)
+        bs = _jax_fa.BlockSizes(
+            block_q=1024, block_k_major=2048, block_k=2048, block_b=1,
+            block_q_major_dkv=1024, block_k_major_dkv=2048,
+            block_k_dkv=2048, block_q_dkv=1024,
+            block_k_major_dq=2048, block_k_dq=2048, block_q_dq=1024)
+        return _jax_fa.flash_attention(
+            q, k, v, causal=False, sm_scale=1.0 / math.sqrt(q.shape[-1]),
+            block_sizes=bs)
+
+    candidates = [
+        ("splash_tuned_1024x2048",
+         lambda q, k, v: splash_tuned(q, k, v, causal=False), "base"),
+        ("tpukern_fa_dispatch",  # auto-dispatches to the transposed-PV
+         lambda q, k, v: flash_attention(q, k, v, causal=False), "pk"),
+        ("jax_flash_tuned_1024x2048", jax_flash_tuned, "base"),
+        ("tpukern_fa_tpv_2048x1024",
+         lambda q, k, v: flash_attention(q, k, v, causal=False,
+                                         block_q=2048, block_k=1024),
+         "pk"),
+    ]
+    flops = 4 * B * H * S * S * D
+    peak = device_peaks()["bf16_tflops"]
+    suite = Suite(candidates, flops, peak, iters=(4, 12))
+    suite.run_pass(candidates, (q, k, v), "fa-pass1")
+    for i in (2, 3):
+        suite.run_pass(candidates, (q, k, v), f"fa-pass{i}")
+    return suite
+
+
+def main():
+    fa = fa_suite()
+    fa_kept = fa.gate()
+    fa_pct = 100.0 * max((p["ratio"] / 100.0 for p in fa_kept),
+                         default=0.0)
+    fa_line = {
+        "metric": "fa_bf16_4x48x8192x64_pct_of_best_tuned_baseline",
+        "value": round(fa_pct, 2),
+        "unit": "%",
+        # north-star: within 1.1x of splash -> >=90.9%; >=100% beats it
+        "vs_baseline": round(fa_pct / 100.0, 4),
+        "passes": fa.passes,
+    }
+    print(json.dumps(fa_line))
+
+    gemm = gemm_suite()
+    kept = gemm.gate()
+    ratios = [p["ratio"] for p in kept]
+    pct = max(ratios) if ratios else 0.0
+    floor = min(ratios) if ratios else 0.0
+    print(f"# headline: max same-pass ratio over {len(kept)} kept passes "
+          f"= {pct:.1f}% (floor {floor:.1f}%); fa = {fa_pct:.1f}%",
+          file=sys.stderr)
     print(json.dumps({
         "metric": "hgemm_bf16_4096_best_pct_of_best_xla",
         "value": round(pct, 2),
         "unit": "%",
         "vs_baseline": round(pct / 95.0, 4),
+        "min_pass": round(floor, 2),
+        "passes": gemm.passes,
+        "fa_pct_of_best_tuned_baseline": round(fa_pct, 2),
+        "fa_passes": fa.passes,
     }))
 
 

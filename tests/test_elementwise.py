@@ -11,7 +11,11 @@ from tpukern.core.tolerances import check_all_close
 EW_FAMILIES = ["elementwise", "relu", "elu", "gelu", "swish", "sigmoid",
                "hardswish", "hardshrink"]
 
-SHAPES = [(1024, 1024), (257, 300)]
+# (256,256) -> 512 lane-rows: every tier gets >=1 full block and the
+# r8/r64 tiers get many grid steps; (63,130) exercises the padded tail.
+# Interpret-mode cost scales with grid steps (the old (1024,1024) shape
+# ran the r8 tier as 1024 serial Python steps — 170s for this file).
+SHAPES = [(256, 256), (63, 130)]
 
 
 def _dtype_of(name):

@@ -4,6 +4,11 @@ Same shape as BENCH_NOTES round-2 decode tables: B=8, Hq=8, Hkv=4,
 D=128, page=128, 32 pages/seq, lengths 3000-4096, ppb=8.
 """
 import functools
+import os
+import sys
+
+sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
+
 import numpy as np
 import jax
 import jax.numpy as jnp

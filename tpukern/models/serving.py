@@ -93,6 +93,13 @@ def init_cache(cfg: Config, batch, pages_per_seq, page_size=128,
     table = jnp.arange(P, dtype=jnp.int32).reshape(batch, pages_per_seq)
     quant = jnp.dtype(dtype) in (jnp.dtype(jnp.int8),
                                  jnp.dtype(jnp.float8_e4m3fn))
+    if cfg.pv_int8 and jnp.dtype(dtype) != jnp.dtype(jnp.int8):
+        # mirror the kernel-level assert (paged_attention.py pv_int8):
+        # the all-int8 PV path only exists for int8 pools — silently
+        # ignoring the flag would hand the user neither error nor speedup
+        raise ValueError(
+            f"Config.pv_int8=True requires an int8 KV cache, got "
+            f"dtype={jnp.dtype(dtype).name}")
     return KVCache(
         k_pages=jnp.zeros(shape, dtype),
         v_pages=jnp.zeros(shape, dtype),

@@ -34,6 +34,46 @@ from tpukern.core.registry import register
 NEG_BIG = -0.7 * 3.4e38
 
 
+def _pv_accumulate(acc_s, alpha, p, v_slot, vs_slot, *, o_dtype,
+                   quantized, pv_int8, apply_row_scale):
+    """Shared PV accumulate for the decode and prefix kernels.
+    v_slot is the current block's (bk, D) page buffer view.
+
+    pv_int8: s8s8s32 PV pass — fold V's per-token scale into p's columns
+    (a (rows, bk) lane multiply), row-quantize p ON-CHIP (p >= 0, so amax
+    is a plain row max), and contract int8 p against the RAW int8 V pages
+    — no (bk, D) V dequant cast at all, completing the all-int8 MXU path
+    started by q_int8. p's per-row scale folds back into the f32
+    accumulator after the dot. ~7-bit p resolution; error is relative to
+    each row's largest p*v_scale product, i.e. bounded by the terms that
+    dominate the softmax sum.
+    """
+    if quantized and pv_int8:
+        p = apply_row_scale(p, vs_slot)
+        amax = jnp.max(p, axis=-1, keepdims=True)
+        amax = jnp.where(amax <= 0.0, 1.0, amax)
+        pq = jnp.round(p * (127.0 / amax)).astype(jnp.int8)
+        pv = jax.lax.dot_general(
+            pq, v_slot, (((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.int32)
+        acc_s[...] = (acc_s[...] * alpha
+                      + pv.astype(jnp.float32) * (amax * (1.0 / 127.0)))
+        return
+    if quantized:
+        # fold V's per-token scale into p's columns (tiny) and cast V
+        # (o_dtype, NOT q.dtype — q may be int8 on the MXU score path)
+        v = v_slot.astype(o_dtype)
+        p = apply_row_scale(p, vs_slot)
+    else:
+        v = v_slot
+    acc_s[...] = (acc_s[...] * alpha
+                  + jax.lax.dot_general(
+                      p.astype(v.dtype), v, (((1,), (0,)), ((), ())),
+                      preferred_element_type=jnp.float32,
+                      precision=(jax.lax.Precision.HIGHEST
+                                 if v.dtype == jnp.float32 else None)))
+
+
 def _decode_kernel(lengths_ref, tables_ref, *refs,
                    page_size, pages_per_block, mask_value,
                    quantized=False, q_int8=False, pv_int8=False, sm_D=None,
@@ -216,43 +256,11 @@ def _decode_kernel(lengths_ref, tables_ref, *refs,
         p = jnp.exp(s - m_next)
         l_s[:, :1] = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
         m_s[:, :1] = m_next
-        if quantized and pv_int8:
-            # s8s8s32 PV pass: fold V's per-token scale into p's columns
-            # (a (group, bk) lane multiply), row-quantize p ON-CHIP (p >=
-            # 0, so amax is a plain row max), and contract int8 p against
-            # the RAW int8 V pages — no (bk, D) V dequant cast at all,
-            # completing the all-int8 MXU decode started by q_int8. p's
-            # per-row scale folds back into the f32 accumulator after the
-            # dot. ~7-bit p resolution; error is relative to each row's
-            # largest p*v_scale product, i.e. bounded by the terms that
-            # dominate the softmax sum.
-            p = apply_row_scale(p, vs_buf[slot])
-            amax = jnp.max(p, axis=-1, keepdims=True)
-            amax = jnp.where(amax <= 0.0, 1.0, amax)
-            pq = jnp.round(p * (127.0 / amax)).astype(jnp.int8)
-            pv = jax.lax.dot_general(
-                pq, v_buf[slot].reshape(bk, D),
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32)
-            acc_s[...] = (acc_s[...] * alpha
-                          + pv.astype(jnp.float32) * (amax * (1.0 / 127.0)))
-        else:
-            if quantized:
-                # fold V's per-token scale into p's columns (tiny) and
-                # cast V (o_ref.dtype, NOT q.dtype — q may be int8 on the
-                # MXU score path)
-                v = v_buf[slot].astype(o_ref.dtype).reshape(bk, D)
-                p = apply_row_scale(p, vs_buf[slot])
-            else:
-                v = v_buf[slot].reshape(bk, D)
-            acc_s[...] = (acc_s[...] * alpha
-                          + jax.lax.dot_general(
-                              p.astype(v.dtype), v,
-                              dimension_numbers=(((1,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32,
-                              precision=(jax.lax.Precision.HIGHEST
-                                         if v.dtype == jnp.float32
-                                         else None)))
+        _pv_accumulate(
+            acc_s, alpha, p, v_buf[slot].reshape(bk, D),
+            vs_buf[slot] if quantized else None,
+            o_dtype=o_ref.dtype, quantized=quantized,
+            pv_int8=pv_int8, apply_row_scale=apply_row_scale)
 
     @pl.when(blk == n_blk - 1)
     def _():
@@ -657,33 +665,11 @@ def _prefix_kernel(lengths_ref, tables_ref, *refs, page_size,
         p = jnp.exp(s - m_next)
         l_s[:, :1] = alpha * l_prev + jnp.sum(p, axis=-1, keepdims=True)
         m_s[:, :1] = m_next
-        if quantized and pv_int8:
-            # s8s8s32 PV pass (see _decode_kernel): on-chip per-row p
-            # quantization against the raw int8 V pages
-            p = apply_row_scale(p, vs_buf[slot])
-            amax = jnp.max(p, axis=-1, keepdims=True)
-            amax = jnp.where(amax <= 0.0, 1.0, amax)
-            pq = jnp.round(p * (127.0 / amax)).astype(jnp.int8)
-            pv = jax.lax.dot_general(
-                pq, v_buf[slot].reshape(bk, D),
-                dimension_numbers=(((1,), (0,)), ((), ())),
-                preferred_element_type=jnp.int32)
-            acc_s[...] = (acc_s[...] * alpha
-                          + pv.astype(jnp.float32) * (amax * (1.0 / 127.0)))
-        else:
-            if quantized:
-                v = v_buf[slot].astype(o_ref.dtype).reshape(bk, D)
-                p = apply_row_scale(p, vs_buf[slot])
-            else:
-                v = v_buf[slot].reshape(bk, D)
-            acc_s[...] = (acc_s[...] * alpha
-                          + jax.lax.dot_general(
-                              p.astype(v.dtype), v,
-                              dimension_numbers=(((1,), (0,)), ((), ())),
-                              preferred_element_type=jnp.float32,
-                              precision=(jax.lax.Precision.HIGHEST
-                                         if v.dtype == jnp.float32
-                                         else None)))
+        _pv_accumulate(
+            acc_s, alpha, p, v_buf[slot].reshape(bk, D),
+            vs_buf[slot] if quantized else None,
+            o_dtype=o_ref.dtype, quantized=quantized,
+            pv_int8=pv_int8, apply_row_scale=apply_row_scale)
 
     @pl.when(blk == n_blk - 1)
     def _():
