@@ -1,0 +1,155 @@
+"""FlashAttention BACKWARD tuner (VERDICT r2 item 4): block sweep for
+the Pallas dQ/dKV kernels at the flagship shapes, measured against the
+autodiff of the external tuned baselines in the same tunnel phase.
+
+Timing covers the backward only (residuals precomputed): for tpukern
+that is flash_attention_bwd(q, k, v, o, lse, do) including the di
+precompute; for the baselines it is the VJP apply of the full kernel
+minus nothing (their fwd+bwd) — so the baseline rows also report the
+fwd-subtracted estimate (bwd ~= vjp - fwd) for an apples-to-apples view.
+
+TFLOPS-equiv basis: bwd_flops = 2.5 * fwd_flops (5 S^2 D matmuls vs 2),
+fwd_flops = 4 B H Sq Skv D (halved for causal).
+
+Usage: python tools/fa_bwd_tune.py [--passes N] [--cases small|flag|all]
+"""
+
+import argparse
+import sys
+
+sys.path.insert(0, ".")
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--passes", type=int, default=2)
+    ap.add_argument("--cases", default="flag",
+                    choices=["flag", "d128", "all", "refgrad"])
+    args = ap.parse_args()
+
+    from tpukern.harness.bench import device_time
+    from tpukern.ops.attention import (flash_attention, attention_ref,
+                                       splash_baseline)
+    from tpukern.ops.attention_bwd import flash_attention_bwd
+
+    def run_case(B, H, S, D, causal, blocks, passes, with_refgrad=False):
+        rng = np.random.default_rng(0)
+        q = jnp.asarray(rng.standard_normal((B, H, S, D)), jnp.bfloat16)
+        k = jnp.asarray(rng.standard_normal((B, H, S, D)), jnp.bfloat16)
+        v = jnp.asarray(rng.standard_normal((B, H, S, D)), jnp.bfloat16)
+        do = jnp.asarray(rng.standard_normal((B, H, S, D)), jnp.bfloat16)
+        o, lse = flash_attention(q, k, v, causal=causal, return_stats=True,
+                                 block_q=1024, block_k=1024)
+        fwd_fl = 4 * B * H * S * S * D // (2 if causal else 1)
+        bwd_fl = int(2.5 * fwd_fl)
+
+        cands = {}
+        for (bq, bk, tr) in blocks:
+            nm = f"pk_bwd({bq},{bk}){'T' if tr else ''}"
+            cands[nm] = ("bwd", lambda q, k, v, o, lse, do, _bq=bq, _bk=bk,
+                         _tr=tr: flash_attention_bwd(
+                             q, k, v, o, lse, do, causal=causal,
+                             block_q=_bq, block_k=_bk, transposed=_tr))
+
+        # external baselines: time fwd alone and the full vjp, then report
+        # vjp - fwd as the backward estimate
+        import math
+        from jax.experimental.pallas.ops.tpu import (
+            flash_attention as _jax_fa)
+        bs = _jax_fa.BlockSizes(
+            block_q=1024, block_k_major=1024, block_k=1024, block_b=1,
+            block_q_major_dkv=1024, block_k_major_dkv=1024,
+            block_k_dkv=1024, block_q_dkv=1024,
+            block_k_major_dq=1024, block_k_dq=1024, block_q_dq=1024)
+
+        def jaxfa(q, k, v):
+            return _jax_fa.flash_attention(
+                q, k, v, causal=causal, sm_scale=1.0 / math.sqrt(D),
+                block_sizes=bs)
+
+        def splash(q, k, v):
+            return splash_baseline(q, k, v, causal=causal,
+                                   block_q=1024, block_kv=1024)
+
+        for nm, f in (("jax_flash_tuned", jaxfa), ("splash_tuned", splash)):
+            def vjp_fn(q, k, v, do, _f=f):
+                out, pull = jax.vjp(_f, q, k, v)
+                return pull(do)
+            cands[nm + "_fwd"] = ("fwd", lambda q, k, v, _f=f: _f(q, k, v))
+            cands[nm + "_vjp"] = ("vjp", vjp_fn)
+
+        if with_refgrad:
+            # XLA autodiff of the unfused reference (materializes the S^2
+            # score matrix both directions) — only fits small shapes
+            def ref_vjp(q, k, v, do):
+                out, pull = jax.vjp(
+                    lambda q, k, v: attention_ref(q, k, v, causal=causal),
+                    q, k, v)
+                return pull(do)
+            cands["xla_autodiff_ref_vjp"] = ("vjp", ref_vjp)
+
+        best = {}
+        dead = set()
+        for p in range(passes):
+            print(f"== pass {p + 1} B={B} H={H} S={S} D={D} "
+                  f"causal={causal}", flush=True)
+            for nm, (kind, f) in cands.items():
+                if nm in dead:
+                    continue
+                a = ((q, k, v, o, lse, do) if kind == "bwd" else
+                     (q, k, v, do) if kind == "vjp" else (q, k, v))
+                try:
+                    t = device_time(f, *a, iters_lo=2, iters_hi=8)
+                    best[nm] = min(best.get(nm, 1e9), t)
+                    fl = {"bwd": bwd_fl, "vjp": fwd_fl + bwd_fl,
+                          "fwd": fwd_fl}[kind]
+                    print(f"  {nm}: {t * 1e3:8.2f} ms  "
+                          f"{fl / t / 1e12:6.1f} TFLOPS-equiv", flush=True)
+                except Exception as e:
+                    print(f"  {nm}: FAIL {str(e)[:100]}", flush=True)
+                    dead.add(nm)
+
+        print("== summary (best over passes)", flush=True)
+        for nm in sorted(best):
+            if nm.endswith("_vjp") and nm.replace("_vjp", "_fwd") in best:
+                sub = best[nm] - best[nm.replace("_vjp", "_fwd")]
+                print(f"  {nm} - fwd = {sub * 1e3:8.2f} ms  "
+                      f"{bwd_fl / sub / 1e12:6.1f} TFLOPS-equiv (bwd est)",
+                      flush=True)
+            elif nm.startswith("pk_bwd"):
+                print(f"  {nm}: {best[nm] * 1e3:8.2f} ms  "
+                      f"{bwd_fl / best[nm] / 1e12:6.1f} TFLOPS-equiv",
+                      flush=True)
+
+    flag_blocks = [
+        (256, 512, None),      # round-2 default (the 42.1 baseline config)
+        (512, 512, None),
+        (512, 1024, None),
+        (1024, 1024, None),
+        (1024, 2048, None),
+        (2048, 1024, None),
+        (512, 1024, True),
+        (1024, 1024, True),
+        (1024, 2048, True),
+        (2048, 2048, True),
+    ]
+    if args.cases in ("flag", "all"):
+        run_case(4, 48, 8192, 64, False, flag_blocks, args.passes)
+        run_case(4, 48, 8192, 64, True, flag_blocks, args.passes)
+    if args.cases in ("d128", "all"):
+        d128 = [(bq, bk, tr) for (bq, bk, tr) in flag_blocks if tr is None]
+        run_case(4, 16, 8192, 128, False, d128, args.passes)
+        run_case(4, 16, 8192, 128, True, d128, args.passes)
+    if args.cases in ("refgrad", "all"):
+        # small shape where XLA autodiff of the unfused reference fits
+        run_case(4, 8, 2048, 64, False,
+                 [(256, 512, None), (1024, 1024, None), (1024, 1024, True)],
+                 args.passes, with_refgrad=True)
+
+
+if __name__ == "__main__":
+    main()

@@ -3,6 +3,7 @@
 freeze sample logs, runnable standalone too.
 
 Usage: python tools/family_probe.py {nms|quant|paged_attention}
+       python tools/family_probe.py --count   # registry census (PARITY.md)
 """
 
 import sys
@@ -99,6 +100,29 @@ def probe_paged():
               f"{float(jnp.max(jnp.abs(out.astype(jnp.float32) - ref.astype(jnp.float32)))):.2e}")
 
 
+def count_registry():
+    """Import every op module and print the live registry census — the
+    source of PARITY.md's variant counts."""
+    import importlib
+    import pkgutil
+
+    import tpukern.ops
+    from tpukern.core import registry
+
+    for m in pkgutil.iter_modules(tpukern.ops.__path__):
+        importlib.import_module(f"tpukern.ops.{m.name}")
+    fams = sorted(registry.families())
+    total = 0
+    for f in fams:
+        n = len(registry.variants(f))
+        total += n
+        print(f"{f}: {n}")
+    print(f"TOTAL: {total} variants across {len(fams)} families")
+
+
 if __name__ == "__main__":
-    {"nms": probe_nms, "quant": probe_quant,
-     "paged_attention": probe_paged}[sys.argv[1]]()
+    if sys.argv[1] == "--count":
+        count_registry()
+    else:
+        {"nms": probe_nms, "quant": probe_quant,
+         "paged_attention": probe_paged}[sys.argv[1]]()

@@ -184,16 +184,33 @@ def run_benchmark(fn, *args, tag="", warmup=3, iters=20, flops=None,
 
     flops/bytes_moved: numbers OR callables over args (registry models).
     """
-    sec, out = time_fn(fn, *args, warmup=warmup, iters=iters, **kw)
-    out0 = out[0] if isinstance(out, (tuple, list)) else out
-
     if callable(flops):
         flops = flops(*args, **kw)
     if callable(bytes_moved):
         bytes_moved = bytes_moved(*args, **kw)
 
-    res = BenchResult(tag=tag, mean_ms=sec * 1e3)
     peaks = device_peaks()
+    # A sample implying >103% of a hardware peak is a timing glitch (RPC
+    # contention shrinking the wall-clock window through the remote
+    # tunnel), not a real rate — re-measure up to twice and keep the
+    # SLOWEST plausible sample (same discard rule as bench.py). Frozen
+    # family-doc logs must never publish impossible physics (VERDICT r2).
+    for attempt in range(3):
+        sec, out = time_fn(fn, *args, warmup=warmup, iters=iters, **kw)
+        fracs = []
+        if flops:
+            fracs.append(flops / sec / 1e12
+                         / (peak_tflops or peaks["bf16_tflops"]))
+        if bytes_moved:
+            fracs.append(bytes_moved / sec / 1e9 / peaks["hbm_gbps"])
+        if not fracs or max(fracs) <= 1.03:
+            break
+        sec_glitch = sec
+    else:
+        sec = sec_glitch  # persistent: keep the last, flagged below
+    out0 = out[0] if isinstance(out, (tuple, list)) else out
+
+    res = BenchResult(tag=tag, mean_ms=sec * 1e3)
     fracs = []
     if flops:
         res.tflops = flops / sec / 1e12
@@ -224,6 +241,8 @@ def run_benchmark(fn, *args, tag="", warmup=3, iters=20, flops=None,
             parts.append(f"{res.gbps:8.1f} GB/s")
         if res.roofline_frac is not None:
             parts.append(f"roofline:{100 * res.roofline_frac:5.1f}%")
+            if res.roofline_frac > 1.03:
+                parts.append("TIMING-GLITCH(>peak)")
         if res.max_diff is not None:
             parts.append(f"max_diff:{res.max_diff:.2e} mean:{res.mean_diff:.2e}")
         print(" ".join(p for p in parts if p))

@@ -93,6 +93,15 @@ def init_cache(cfg: Config, batch, pages_per_seq, page_size=128,
     table = jnp.arange(P, dtype=jnp.int32).reshape(batch, pages_per_seq)
     quant = jnp.dtype(dtype) in (jnp.dtype(jnp.int8),
                                  jnp.dtype(jnp.float8_e4m3fn))
+    if jnp.dtype(dtype) == jnp.dtype(jnp.float8_e4m3fn):
+        # measured 0.30x of bf16 decode on v5e (BENCH_NOTES r2: casts are
+        # software-expanded without a native fp8 ALU) — int8 gives the
+        # same 2x pool capacity AND beats bf16 latency there
+        import warnings
+        warnings.warn(
+            "fp8-e4m3 KV pools are a decode-latency regression on "
+            "TPU v5e (no native fp8 ALU); use dtype=jnp.int8 unless "
+            "targeting fp8-native hardware", stacklevel=2)
     if cfg.pv_int8 and jnp.dtype(dtype) != jnp.dtype(jnp.int8):
         # mirror the kernel-level assert (paged_attention.py pv_int8):
         # the all-int8 PV path only exists for int8 pools — silently

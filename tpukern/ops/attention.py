@@ -380,18 +380,20 @@ def flash_attention(q, k, v, *, causal=False, sm_scale=None,
     q = (q.astype(jnp.float32)
          * (sm_scale * (LOG2E if use_exp2 and softcap is None else 1.0))
          ).astype(q.dtype)
-    # shape-aware defaults from the v5e sweep (tools/fa_tune.py, frozen in
-    # BENCH_NOTES.md): grid-step overhead dominates small tiles, VMEM caps
-    # large ones (scale with D), and causal prefers bq >= bk (block-level
-    # triangle skipping wastes less of each KV block near the diagonal)
+    # shape-aware defaults from the v5e sweeps (tools/fa_tune.py and
+    # tools/fa512_tune.py, frozen in BENCH_NOTES.md): grid-step overhead
+    # dominates small tiles, VMEM caps large ones (scale with D), and
+    # causal prefers bq >= bk (block-level triangle skipping wastes less
+    # of each KV block near the diagonal)
     if block_q is None:
-        block_q = 1024 if (D <= 128 or (causal and D <= 256)) else 512
+        # non-causal: bq=1024 at EVERY D (round-3 sweep: (1024,1024) wins
+        # at D=256 167.7 and D=512 172.2 TFLOPS — 1.02x/1.04x of tuned
+        # splash; round 2's bq=512 default trailed splash at D=512)
+        block_q = 512 if (causal and D > 256) else 1024
     if block_k is None:
         if causal:
             block_k = 1024 if D <= 128 else 512 if D <= 256 else 256
         else:
-            # bk=1024 measured best for every D > 128 (D=512: 164.5 vs
-            # 156.2 TFLOPS at bk=512 — 0.99x of tuned splash)
             block_k = 2048 if (D <= 128 and Skv >= 4096) else 1024
     bq = min(block_q, Sq)
     bk = min(block_k, Skv)

@@ -82,8 +82,14 @@ def matmul(a, b, *, block_m=512, block_n=1024, block_k=512,
     M, K = a.shape
     N = b.shape[0] if trans_b else b.shape[1]
     bm, bn, bk = min(block_m, M), min(block_n, N), min(block_k, K)
-    a, b = _pad_k(a, b, bk, trans_b)
-    nI, nJ, nK = cdiv(M, bm), cdiv(N, bn), cdiv(a.shape[1], bk)
+    # Non-multiple K is masked IN-KERNEL on the tail step (k_len below)
+    # instead of materializing zero-padded copies of A and B at the XLA
+    # boundary: the old _pad_k route cost ~2 full HBM passes — ~20% of
+    # the kernel's own time at the odd 4352-class sizes (VERDICT r2
+    # item 6). M/N tails need no masking: undefined pad rows/columns only
+    # produce output positions the grid clips on write-back.
+    k_len = K if K % bk else None
+    nI, nJ, nK = cdiv(M, bm), cdiv(N, bn), cdiv(K, bk)
 
     if trans_b:
         dn = (((1,), (1,)), ((), ()))
@@ -95,6 +101,33 @@ def matmul(a, b, *, block_m=512, block_n=1024, block_k=512,
         b_idx = lambda k, j: (k, j)
 
     has_jit = jitter is not None
+
+    def _mm_acc(a_ref, b_ref, acc_ref, k_axis):
+        """acc += A_blk @ B_blk, masking the K overhang on the tail step
+        only (two disjoint pl.when bodies — the same specialization trick
+        as the FA causal diagonal, so full blocks pay zero mask cost)."""
+        def step(tail):
+            a_t, b_t = a_ref[...], b_ref[...]
+            if tail:
+                # the block overhangs K: zero the undefined contraction
+                # columns of A and rows of B (HBM pad garbage can be
+                # Inf/NaN, and 0 * Inf = NaN — so BOTH sides are masked)
+                off = (pl.num_programs(k_axis) - 1) * bk
+                ai = jax.lax.broadcasted_iota(jnp.int32, a_t.shape, 1) + off
+                a_t = jnp.where(ai < k_len, a_t, jnp.zeros_like(a_t))
+                bi = jax.lax.broadcasted_iota(
+                    jnp.int32, b_t.shape, 1 if trans_b else 0) + off
+                b_t = jnp.where(bi < k_len, b_t, jnp.zeros_like(b_t))
+            acc_ref[...] += jax.lax.dot_general(
+                a_t, b_t, dimension_numbers=dn,
+                preferred_element_type=acc_dtype)
+
+        if k_len is None:
+            step(False)
+        else:
+            is_tail = pl.program_id(k_axis) == pl.num_programs(k_axis) - 1
+            pl.when(jnp.logical_not(is_tail))(lambda: step(False))
+            pl.when(is_tail)(lambda: step(True))
 
     def _init(ref, j_ref):
         # accumulator init: zeros, or the benchmark jitter scalar (a
@@ -117,9 +150,7 @@ def matmul(a, b, *, block_m=512, block_n=1024, block_k=512,
         def _():
             _init(o_ref, j_ref)
 
-        o_ref[...] += jax.lax.dot_general(
-            a_ref[...], b_ref[...], dimension_numbers=dn,
-            preferred_element_type=acc_dtype)
+        _mm_acc(a_ref, b_ref, o_ref, k_axis)
 
     def kernel_accio_dual(*refs, k_axis):
         # same, plus a low-precision second output written on the last K
@@ -132,9 +163,7 @@ def matmul(a, b, *, block_m=512, block_n=1024, block_k=512,
         def _():
             _init(oacc_ref, j_ref)
 
-        oacc_ref[...] += jax.lax.dot_general(
-            a_ref[...], b_ref[...], dimension_numbers=dn,
-            preferred_element_type=acc_dtype)
+        _mm_acc(a_ref, b_ref, oacc_ref, k_axis)
 
         @pl.when(pl.program_id(k_axis) == pl.num_programs(k_axis) - 1)
         def _():
@@ -149,9 +178,7 @@ def matmul(a, b, *, block_m=512, block_n=1024, block_k=512,
         def _():
             _init(acc_ref, j_ref)
 
-        acc_ref[...] += jax.lax.dot_general(
-            a_ref[...], b_ref[...], dimension_numbers=dn,
-            preferred_element_type=acc_dtype)
+        _mm_acc(a_ref, b_ref, acc_ref, k_axis)
 
         if eager_store:
             # unconditional store packs into the same instruction bundle as
