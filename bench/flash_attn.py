@@ -33,6 +33,12 @@ def get_args():
     p.add_argument("--D", type=int, default=64)
     p.add_argument("--sweep", action="store_true",
                    help="sweep N in 1k..8k and D in {64,128,256,512}")
+    p.add_argument("--sweep-plot", action="store_true",
+                   help="TFLOPS-vs-S curve per D tier (64..512) vs tuned "
+                        "splash, saved to bench/plots/fa_sweep*.png (the "
+                        "reference's published benchmark grid, "
+                        "flash_attn_mma.py:431-434)")
+    p.add_argument("--plot", default="bench/plots/fa_sweep.png")
     p.add_argument("--causal", action="store_true")
     p.add_argument("--check", action="store_true")
     p.add_argument("--check-all", action="store_true",
@@ -57,9 +63,86 @@ def get_args():
     return p.parse_args()
 
 
+def sweep_plot(args):
+    """The reference's benchmark-grid analog: one TFLOPS-vs-S curve per
+    head-dim tier, tpukern auto-dispatch vs TUNED splash (best over its
+    two best block configs per point). (B, H) per tier follow the
+    round-2 flagship shapes (BENCH_NOTES)."""
+    from tpukern.harness.bench import device_time
+    from tpukern.ops.attention import flash_attention, splash_baseline
+
+    tiers = {64: (4, 48), 128: (4, 16), 256: (2, 8), 512: (1, 8)}
+    seqs = (1024, 2048, 4096, 8192)
+    causal = args.causal
+    rng = np.random.default_rng(args.seed)
+    results = {}  # (D, S) -> {"tpukern": tf, "splash": tf}
+    for D, (B, H) in tiers.items():
+        for S in seqs:
+            q, k, v = (jnp.asarray(rng.standard_normal((B, H, S, D)),
+                                   jnp.bfloat16) for _ in range(3))
+            fl = 4 * B * H * S * S * D // (2 if causal else 1)
+
+            def t(fn):
+                return fl / device_time(fn, q, k, v, iters_lo=4,
+                                        iters_hi=12) / 1e12
+
+            row = {}
+            try:
+                row["tpukern"] = t(lambda q, k, v: flash_attention(
+                    q, k, v, causal=causal))
+            except Exception as e:
+                print(f"# D={D} S={S} tpukern FAIL {str(e)[:80]}",
+                      flush=True)
+            spl = 0.0
+            for (bq, bkv) in ((1024, 2048), (512, 1024)):
+                try:
+                    spl = max(spl, t(lambda q, k, v, _bq=bq, _bkv=bkv:
+                                     splash_baseline(q, k, v, causal=causal,
+                                                     block_q=_bq,
+                                                     block_kv=_bkv)))
+                except Exception:
+                    pass
+            if spl:
+                row["splash"] = spl
+            results[(D, S)] = row
+            pk, sp = row.get("tpukern"), row.get("splash")
+            r = f"  ratio {pk / sp:5.2f}x" if pk and sp else ""
+            print(f"D={D:<4} S={S:<5} tpukern {pk or float('nan'):6.1f} "
+                  f"splash_tuned {sp or float('nan'):6.1f} TFLOPS{r}",
+                  flush=True)
+
+    if args.plot:
+        import os
+        os.makedirs(os.path.dirname(args.plot) or ".", exist_ok=True)
+        import matplotlib
+        matplotlib.use("Agg")
+        import matplotlib.pyplot as plt
+        fig, axes = plt.subplots(1, 4, figsize=(16, 4), sharex=True)
+        for ax, (D, (B, H)) in zip(axes, tiers.items()):
+            for name, marker in (("tpukern", "o"), ("splash", "s")):
+                ys = [results.get((D, s), {}).get(name) for s in seqs]
+                ax.plot(seqs, ys, marker=marker, ms=4,
+                        label="tpukern FA" if name == "tpukern"
+                        else "splash (tuned)")
+            ax.set_title(f"D={D} (B={B}, H={H})")
+            ax.set_xlabel("S")
+            ax.set_xscale("log", base=2)
+            ax.grid(alpha=0.3)
+        axes[0].set_ylabel("TFLOPS")
+        axes[0].legend(fontsize=8)
+        fig.suptitle(
+            f"FlashAttention forward, TPU v5e, bf16"
+            f"{' causal' if causal else ''}: tpukern vs tuned splash")
+        fig.savefig(args.plot, dpi=120, bbox_inches="tight")
+        print(f"saved {args.plot}")
+
+
 def main():
     import contextlib
     args = get_args()
+    if args.sweep_plot:
+        sweep_plot(args)
+        return
     stack = contextlib.ExitStack()
     if args.trace:
         from tpukern.harness.profiling import trace

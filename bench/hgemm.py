@@ -29,9 +29,15 @@ def get_args():
     p.add_argument("--sweep", action="store_true",
                    help="sweep M=N=K over 1024..8192")
     p.add_argument("--sweep-fine", action="store_true",
-                   help="fine sweep M=N=K 256..8192 step 256: best tpukern "
-                        "config vs XLA, TFLOPS curve (the reference's "
-                        "256-step MNK sweep, hgemm.py:277-281)")
+                   help="fine sweep M=N=K 256..--max-mnk step 256: best "
+                        "tpukern config vs XLA, TFLOPS curve (the "
+                        "reference's 256-step MNK sweep, hgemm.py:277-281)")
+    p.add_argument("--max-mnk", type=int, default=8192,
+                   help="fine-sweep upper bound (reference flagship sizes "
+                        "run to 16384, kernels/hgemm/README.md:158-186)")
+    p.add_argument("--sizes", default="",
+                   help="comma list of M=N=K sizes: targeted --sweep-fine "
+                        "over just these (e.g. the odd 4352-class)")
     p.add_argument("--variants", default="",
                    help="substring filter on variant names")
     p.add_argument("--check", action="store_true")
@@ -53,7 +59,8 @@ def sweep_fine(args):
 
     peak = device_peaks()["bf16_tflops"]
     rng = np.random.default_rng(0)
-    sizes = list(range(256, 8192 + 1, 256))
+    sizes = ([int(s) for s in args.sizes.split(",")] if args.sizes
+             else list(range(256, args.max_mnk + 1, 256)))
     rows = []
     for s in sizes:
         a = jnp.asarray(rng.standard_normal((s, s)), jnp.bfloat16)
@@ -94,7 +101,7 @@ def sweep_fine(args):
         import matplotlib.pyplot as plt
         plt.figure(figsize=(10, 5))
         plt.plot([r[0] for r in rows], [r[1] for r in rows],
-                 label="tpukern scratch_bf16out (1024,1024,512)",
+                 label="tpukern hgemm (auto blocks)",
                  marker="o", ms=3)
         plt.plot([r[0] for r in rows], [r[2] for r in rows],
                  label="XLA dot_general bf16-out", marker="s", ms=3)

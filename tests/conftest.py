@@ -12,6 +12,11 @@ import os
 # the virtual 8-device CPU mesh unless TPUKERN_TEST_PLATFORM=tpu is set
 # (opt-in on-device kernel tests).
 _platform = os.environ.get("TPUKERN_TEST_PLATFORM", "cpu")
+if _platform == "tpu":
+    # "tpu" = the on-device smoke lane (pytest -m tpu): leave the ambient
+    # platform in place (the axon tunnel registers as platform "axon",
+    # not "tpu" — forcing jax_platforms="tpu" fails to init there)
+    _platform = ""
 flags = os.environ.get("XLA_FLAGS", "")
 if "xla_force_host_platform_device_count" not in flags:
     os.environ["XLA_FLAGS"] = (

@@ -72,8 +72,24 @@ def main():
                 block_sizes=bs)
 
         def splash(q, k, v):
-            return splash_baseline(q, k, v, causal=causal,
-                                   block_q=1024, block_kv=1024)
+            # splash with explicit backward blocks (its vjp refuses to
+            # run without them)
+            from jax.experimental.pallas.ops.tpu.splash_attention import (
+                splash_attention_kernel as _sak,
+                splash_attention_mask as _sam)
+            S = q.shape[2]
+            mask = (_sam.CausalMask((S, S)) if causal
+                    else _sam.FullMask((S, S)))
+            mh = _sam.MultiHeadMask([mask] * q.shape[1])
+            bs = _sak.BlockSizes(
+                block_q=1024, block_kv=1024, block_kv_compute=1024,
+                block_q_dkv=1024, block_kv_dkv=1024,
+                block_kv_dkv_compute=1024,
+                block_q_dq=1024, block_kv_dq=1024)
+            kern = _sak.make_splash_mha(mh, block_sizes=bs, head_shards=1,
+                                        q_seq_shards=1)
+            sm = 1.0 / math.sqrt(D)
+            return jax.vmap(kern)((q * sm).astype(q.dtype), k, v)
 
         for nm, f in (("jax_flash_tuned", jaxfa), ("splash_tuned", splash)):
             def vjp_fn(q, k, v, do, _f=f):

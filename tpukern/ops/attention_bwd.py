@@ -337,7 +337,7 @@ def _dkv_t_kernel(qT_ref, k_ref, v_ref, doT_ref, lse_ref, di_ref,
 
 
 def flash_attention_bwd(q, k, v, o, lse, do, *, causal=False, sm_scale=None,
-                        block_q=256, block_k=512, transposed=None,
+                        block_q=None, block_k=None, transposed=None,
                         window=None, softcap=None, segment_ids=None,
                         interpret=None):
     """dQ, dK, dV from saved residuals. Hq == Hkv here; GQA grouping is
@@ -348,6 +348,17 @@ def flash_attention_bwd(q, k, v, o, lse, do, *, causal=False, sm_scale=None,
     kernels (the transposed twins stay the plain fast path)."""
     B, H, Sq, D = q.shape
     Skv = k.shape[2]
+    # v5e sweep (tools/fa_bwd_tune.py, BENCH_NOTES round 3): grid-step
+    # overhead dominates small blocks exactly as in the forward — the
+    # round-2 (256,512) default left HALF the backward's throughput on
+    # the table (44.6 -> 75.9 TFLOPS-equiv at the D=64 flagship,
+    # 83.2 -> 123.3 at D=128). (1024,2048)-class configs fail to compile
+    # (VMEM); larger D shrinks blocks to keep the f32 score/ds tiles in
+    # budget.
+    if block_q is None:
+        block_q = 1024 if D <= 128 else 512 if D <= 256 else 256
+    if block_k is None:
+        block_k = 1024 if D <= 256 else 512
     if sm_scale is None:
         sm_scale = 1.0 / math.sqrt(D)
     if window is not None:
