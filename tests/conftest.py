@@ -30,6 +30,28 @@ if _platform:
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
+# The slow interpret-mode tail (tests/slow_lane.txt: node ids measured
+# >= 25 s on this box, frozen from a full-suite timing run) is excluded
+# from the default lane by the pyproject addopts marker filter. Coverage
+# is NOT lost: `python -m pytest -m slow -q` runs exactly this tail.
+# Regenerate the list by running the suite with --durations and
+# thresholding; every listed test still collects (a stale entry is a
+# no-op, not an error).
+_slow_path = os.path.join(os.path.dirname(__file__), "slow_lane.txt")
+try:
+    with open(_slow_path) as _f:
+        _SLOW = {ln.strip() for ln in _f if ln.strip()
+                 and not ln.startswith("#")}
+except OSError:
+    _SLOW = set()
+
+
+def pytest_collection_modifyitems(items):
+    for item in items:
+        rel = item.nodeid.split("tests/")[-1]
+        if rel in _SLOW:
+            item.add_marker(pytest.mark.slow)
+
 
 @pytest.fixture
 def rng():
