@@ -405,6 +405,7 @@ def matmul_naive(a, b, *, block_m=256, block_n=256, out_dtype=None,
     return out.astype(out_dtype)
 
 
+@functools.lru_cache(maxsize=512)
 def auto_blocks(M, N, K, peak_flops=197e12, hbm_bw=819e9,
                 vmem_budget=10 * 2 ** 20, step_overhead=7e-7):
     """Shape-aware block sizes from an analytic roofline model. Fixed
@@ -421,10 +422,19 @@ def auto_blocks(M, N, K, peak_flops=197e12, hbm_bw=819e9,
     at 3328 (=26*128) the exact (832,1664,256) config needs 10.9 MB and
     measured 144.9 TFLOPS vs 129.4 for the best under-10MB padded pick
     (88% vs 80% of XLA) — still well below the ~13 MB Mosaic
-    scoped-vmem failure zone."""
-    def sizes(d, gran, cap):
+    scoped-vmem failure zone.
+
+    The K axis searches deeper (max_n=64) when K > 12288: K blocks are
+    pure streaming granularity (no operand re-reads scale with nK), and
+    the 24-block cap silently excluded bk=512 at K=16384 — the measured
+    ~100%-of-XLA config — leaving the flagship size at 95.8% in round 3's
+    first sweep. Below 12288 the cap never binds on bk >= 512, so the
+    extension is scoped to where the cap was the problem and every pick
+    at smaller sizes stays identical to the hardware-measured round-3
+    sweep (93.9-105.4% at the odd 4352-class)."""
+    def sizes(d, gran, cap, max_n=24):
         out = []
-        for n in range(1, min(-(-d // gran), 24) + 1):
+        for n in range(1, min(-(-d // gran), max_n) + 1):
             b = min(cap, -(-(-(-d // n)) // gran) * gran)
             if n * b >= d and (not out or b != out[-1]):
                 out.append(b)
@@ -433,7 +443,7 @@ def auto_blocks(M, N, K, peak_flops=197e12, hbm_bw=819e9,
     best = None
     for bm in sizes(M, 16, 1024):
         for bn in sizes(N, 128, 2048):
-            for bk in sizes(K, 128, 2048):
+            for bk in sizes(K, 128, 2048, max_n=64 if K > 12288 else 24):
                 # scratch-accumulator bf16-out budget (the general case):
                 # f32 acc + bf16 out + double-buffered bf16 A/B tiles
                 vmem = bm * bn * 6 + 4 * bm * bk + 4 * bk * bn
