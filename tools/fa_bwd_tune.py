@@ -28,7 +28,7 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--passes", type=int, default=2)
     ap.add_argument("--cases", default="flag",
-                    choices=["flag", "d128", "all", "refgrad"])
+                    choices=["flag", "d128", "all", "refgrad", "fused"])
     args = ap.parse_args()
 
     from tpukern.harness.bench import device_time
@@ -49,11 +49,19 @@ def main():
 
         cands = {}
         for (bq, bk, tr) in blocks:
+            if tr == "F":  # fused one-recompute kernel
+                nm = f"pk_bwd({bq},{bk})F"
+                cands[nm] = ("bwd", lambda q, k, v, o, lse, do, _bq=bq,
+                             _bk=bk: flash_attention_bwd(
+                                 q, k, v, o, lse, do, causal=causal,
+                                 block_q=_bq, block_k=_bk, fused=True))
+                continue
             nm = f"pk_bwd({bq},{bk}){'T' if tr else ''}"
             cands[nm] = ("bwd", lambda q, k, v, o, lse, do, _bq=bq, _bk=bk,
                          _tr=tr: flash_attention_bwd(
                              q, k, v, o, lse, do, causal=causal,
-                             block_q=_bq, block_k=_bk, transposed=_tr))
+                             block_q=_bq, block_k=_bk, transposed=_tr,
+                             fused=False))
 
         # external baselines: time fwd alone and the full vjp, then report
         # vjp - fwd as the backward estimate
@@ -153,6 +161,14 @@ def main():
         (1024, 2048, True),
         (2048, 2048, True),
     ]
+    fused_blocks = [
+        (512, 512, "F"),
+        (512, 1024, "F"),
+        (1024, 512, "F"),
+        (1024, 1024, "F"),
+        (1024, 2048, "F"),
+        (1024, 1024, None),    # best two-kernel config, same-phase anchor
+    ]
     if args.cases in ("flag", "all"):
         run_case(4, 48, 8192, 64, False, flag_blocks, args.passes)
         run_case(4, 48, 8192, 64, True, flag_blocks, args.passes)
@@ -160,6 +176,11 @@ def main():
         d128 = [(bq, bk, tr) for (bq, bk, tr) in flag_blocks if tr is None]
         run_case(4, 16, 8192, 128, False, d128, args.passes)
         run_case(4, 16, 8192, 128, True, d128, args.passes)
+    if args.cases in ("fused", "all"):
+        run_case(4, 48, 8192, 64, False, fused_blocks, args.passes)
+        run_case(4, 48, 8192, 64, True, fused_blocks, args.passes)
+        run_case(4, 16, 8192, 128, False, fused_blocks, args.passes)
+        run_case(4, 16, 8192, 128, True, fused_blocks, args.passes)
     if args.cases in ("refgrad", "all"):
         # small shape where XLA autodiff of the unfused reference fits
         run_case(4, 8, 2048, 64, False,

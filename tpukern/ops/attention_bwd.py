@@ -336,10 +336,162 @@ def _dkv_t_kernel(qT_ref, k_ref, v_ref, doT_ref, lse_ref, di_ref,
             body(False)
 
 
+def _bwd_fused_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
+                      dq_ref, dk_ref, dv_ref, *, scale, causal, block_q,
+                      block_k, q_len=None, kv_len=None, use_exp2=True):
+    """One-recompute fused backward: a single grid (B, H, ki, qi)
+    computes dK/dV in their revisited output blocks AND accumulates dQ
+    into a whole-sequence f32 output block that stays VMEM-resident for
+    the entire (ki, qi) loop of one (b, h) — its BlockSpec index ignores
+    both inner grid dims, so Pallas never flushes it mid-head.
+
+    Why: the two-kernel design recomputes the score matrix twice (dq
+    pass + dkv pass = 7 matmul passes); splash's fused backward
+    recomputes once (5 passes) and measured 1.23x ahead on causal D=128
+    (BENCH_NOTES round 3). Here the score space is (bk, bq) as in
+    _dkv_kernel; the three accumulation matmuls (dv, dk, dq) all run
+    block-deep contractions at full MXU rate. VMEM bound: the resident
+    dq block is Sq_p * D * 4 bytes (2 MB at D=64, S=8192) — the
+    dispatcher gates the fused path on that budget."""
+    ki = pl.program_id(2)
+    qi = pl.program_id(3)
+
+    @pl.when(jnp.logical_and(ki == 0, qi == 0))
+    def _():
+        dq_ref[...] = jnp.zeros_like(dq_ref)
+
+    @pl.when(qi == 0)
+    def _():
+        dk_ref[...] = jnp.zeros_like(dk_ref)
+        dv_ref[...] = jnp.zeros_like(dv_ref)
+
+    run = (qi + 1) * block_q - 1 >= ki * block_k if causal else True
+    prec = None if use_exp2 else jax.lax.Precision.HIGHEST
+
+    def body(mask_causal):
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        do = do_ref[0, 0].astype(jnp.float32)
+        lse = lse_ref[0, 0][:, :1].reshape(1, -1)   # (1, bq), log2-scaled
+        di = di_ref[0, 0][:, :1].reshape(1, -1)
+
+        s_t = jax.lax.dot_general(
+            k, q, dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec
+        ) * (scale * (LOG2E if use_exp2 else 1.0))   # (bk, bq)
+        p_t = (jnp.exp2 if use_exp2 else jnp.exp)(s_t - lse)
+        need_rows = mask_causal or kv_len is not None
+        if mask_causal or q_len is not None:
+            q_cols = (jax.lax.broadcasted_iota(jnp.int32, s_t.shape, 1)
+                      + qi * block_q)
+        if need_rows:
+            kv_rows = (jax.lax.broadcasted_iota(jnp.int32, s_t.shape, 0)
+                       + ki * block_k)
+        if mask_causal:
+            p_t = jnp.where(kv_rows <= q_cols, p_t, 0.0)
+        if q_len is not None:
+            p_t = jnp.where(q_cols < q_len, p_t, 0.0)
+        if kv_len is not None:
+            # garbage K/V tail rows would otherwise enter dQ via ds^T @ k
+            p_t = jnp.where(kv_rows < kv_len, p_t, 0.0)
+
+        dv_ref[0, 0] += jax.lax.dot_general(
+            p_t.astype(do_ref.dtype), do_ref[0, 0],
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
+        dp_t = jax.lax.dot_general(
+            v.astype(jnp.float32), do,
+            dimension_numbers=(((1,), (1,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
+        ds_t = p_t * (dp_t - di) * scale
+        if q_len is not None:
+            # di/lse tail columns are undefined: re-mask after arithmetic
+            ds_t = jnp.where(q_cols < q_len, ds_t, 0.0)
+        if kv_len is not None:
+            ds_t = jnp.where(kv_rows < kv_len, ds_t, 0.0)
+        dk_ref[0, 0] += jax.lax.dot_general(
+            ds_t.astype(q.dtype), q,
+            dimension_numbers=(((1,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
+        # dq[qi block] += ds^T @ k: bk-deep contraction, (bq, D) output
+        dq_ref[0, 0, pl.ds(qi * block_q, block_q), :] += \
+            jax.lax.dot_general(
+                ds_t.astype(k.dtype), k,
+                dimension_numbers=(((0,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec)
+
+    if causal:
+        fully = (ki + 1) * block_k - 1 <= qi * block_q
+
+        @pl.when(jnp.logical_and(run, fully))
+        def _():
+            body(False)
+
+        @pl.when(jnp.logical_and(run, jnp.logical_not(fully)))
+        def _():
+            body(True)
+    else:
+        @pl.when(run)
+        def _():
+            body(False)
+
+
+# the resident whole-sequence dQ block of the fused backward must fit
+# VMEM next to the tiles/intermediates: 4 MB covers D<=128 at S=8192
+# (and D=256 at S<=4096); larger falls back to the two-kernel design
+FUSED_BWD_DQ_BUDGET = 4 * 2 ** 20
+
+
+def _bwd_fused(q, k, v, do, lse8, di8, *, B, H, D, Sq, Skv, Sq_p, Skv_p,
+               bq, bk, sm_scale, causal, kv_len, q_len, use_exp2, interp,
+               out_dtypes):
+    """Single-pallas-call fused backward (see _bwd_fused_kernel)."""
+    def spec4(bs, idx):
+        return pl.BlockSpec((1, 1, bs, D), idx, memory_space=pltpu.VMEM)
+
+    def spec3(bs, idx):
+        return pl.BlockSpec((1, 1, bs, 8),
+                            lambda *a, _f=idx: (*_f(*a), 0),
+                            memory_space=pltpu.VMEM)
+
+    dq, dk, dv = pl.pallas_call(
+        functools.partial(_bwd_fused_kernel, scale=sm_scale, causal=causal,
+                          block_q=bq, block_k=bk, q_len=q_len,
+                          kv_len=kv_len, use_exp2=use_exp2),
+        out_shape=(jax.ShapeDtypeStruct((B, H, Sq_p, D), jnp.float32),
+                   jax.ShapeDtypeStruct((B, H, Skv_p, D), jnp.float32),
+                   jax.ShapeDtypeStruct((B, H, Skv_p, D), jnp.float32)),
+        grid=(B, H, cdiv(Skv_p, bk), cdiv(Sq_p, bq)),
+        in_specs=[
+            spec4(bq, lambda b, h, i, j: (b, h, j, 0)),   # q
+            spec4(bk, lambda b, h, i, j: (b, h, i, 0)),   # k
+            spec4(bk, lambda b, h, i, j: (b, h, i, 0)),   # v
+            spec4(bq, lambda b, h, i, j: (b, h, j, 0)),   # do
+            spec3(bq, lambda b, h, i, j: (b, h, j)),      # lse
+            spec3(bq, lambda b, h, i, j: (b, h, j)),      # di
+        ],
+        out_specs=(
+            # dq: whole padded sequence, index ignores ki/qi -> resident
+            pl.BlockSpec((1, 1, Sq_p, D), lambda b, h, i, j: (b, h, 0, 0),
+                         memory_space=pltpu.VMEM),
+            spec4(bk, lambda b, h, i, j: (b, h, i, 0)),
+            spec4(bk, lambda b, h, i, j: (b, h, i, 0)),
+        ),
+        compiler_params=pltpu.CompilerParams(
+            dimension_semantics=("parallel", "parallel", "arbitrary",
+                                 "arbitrary")),
+        interpret=interp,
+    )(q, k, v, do, lse8, di8)
+    return (dq[:, :, :Sq].astype(out_dtypes[0]),
+            dk[:, :, :Skv].astype(out_dtypes[1]),
+            dv[:, :, :Skv].astype(out_dtypes[2]))
+
+
 def flash_attention_bwd(q, k, v, o, lse, do, *, causal=False, sm_scale=None,
                         block_q=None, block_k=None, transposed=None,
-                        window=None, softcap=None, segment_ids=None,
-                        interpret=None):
+                        fused=None, window=None, softcap=None,
+                        segment_ids=None, interpret=None):
     """dQ, dK, dV from saved residuals. Hq == Hkv here; GQA grouping is
     handled by the caller (sum dk/dv over the query-head group).
     transposed: None = auto (transposed-layout kernels at D <= 64),
@@ -421,6 +573,20 @@ def flash_attention_bwd(q, k, v, o, lse, do, *, causal=False, sm_scale=None,
                             lambda *a, _f=idx: (*_f(*a), 0, 0),
                             memory_space=pltpu.VMEM)
 
+    if fused is None:
+        # fused one-recompute kernel (see _bwd_fused_kernel) whenever its
+        # resident whole-sequence dQ block fits the VMEM budget and the
+        # caller didn't force a layout or ask for featured masks
+        fused = (not featured and transposed is None
+                 and Sq_p * D * 4 <= FUSED_BWD_DQ_BUDGET)
+    assert not (fused and featured), \
+        "window/softcap/segment_ids need the two-kernel standard layout"
+    if fused:
+        return _bwd_fused(
+            q, k, v, do, lse8, di8, B=B, H=H, D=D, Sq=Sq, Skv=Skv,
+            Sq_p=Sq_p, Skv_p=Skv_p, bq=bq, bk=bk, sm_scale=sm_scale,
+            causal=causal, kv_len=kv_len, q_len=q_len, use_exp2=use_exp2,
+            interp=interp, out_dtypes=(q.dtype, k.dtype, v.dtype))
     if transposed is None:
         transposed = D <= 64 and not featured
     assert not (transposed and featured), \
