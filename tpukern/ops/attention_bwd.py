@@ -500,15 +500,27 @@ def flash_attention_bwd(q, k, v, o, lse, do, *, causal=False, sm_scale=None,
     kernels (the transposed twins stay the plain fast path)."""
     B, H, Sq, D = q.shape
     Skv = k.shape[2]
-    # v5e sweep (tools/fa_bwd_tune.py, BENCH_NOTES round 3): grid-step
+    featured_early = (window is not None or softcap is not None
+                      or segment_ids is not None)
+    fused_explicit = fused is not None
+    if fused is None:
+        # fused one-recompute kernel (see _bwd_fused_kernel) whenever its
+        # resident whole-sequence dQ block fits the VMEM budget and the
+        # caller didn't force a layout or ask for featured masks
+        fused = (not featured_early and transposed is None
+                 and -(-Sq // 512) * 512 * D * 4 <= FUSED_BWD_DQ_BUDGET)
+    # v5e sweeps (tools/fa_bwd_tune.py, BENCH_NOTES round 3): grid-step
     # overhead dominates small blocks exactly as in the forward — the
     # round-2 (256,512) default left HALF the backward's throughput on
     # the table (44.6 -> 75.9 TFLOPS-equiv at the D=64 flagship,
-    # 83.2 -> 123.3 at D=128). (1024,2048)-class configs fail to compile
-    # (VMEM); larger D shrinks blocks to keep the f32 score/ds tiles in
-    # budget.
+    # 83.2 -> 123.3 at D=128; the fused kernel adds another ~8% at
+    # (512,1024)). (1024,1024)+ fails to compile on the fused path (the
+    # resident dQ block eats its share of VMEM) and (1024,2048)+ on the
+    # two-kernel path; larger D shrinks blocks to keep the f32 score/ds
+    # tiles in budget.
     if block_q is None:
-        block_q = 1024 if D <= 128 else 512 if D <= 256 else 256
+        block_q = (512 if fused
+                   else 1024 if D <= 128 else 512 if D <= 256 else 256)
     if block_k is None:
         block_k = 1024 if D <= 256 else 512
     if sm_scale is None:
@@ -573,14 +585,15 @@ def flash_attention_bwd(q, k, v, o, lse, do, *, causal=False, sm_scale=None,
                             lambda *a, _f=idx: (*_f(*a), 0, 0),
                             memory_space=pltpu.VMEM)
 
-    if fused is None:
-        # fused one-recompute kernel (see _bwd_fused_kernel) whenever its
-        # resident whole-sequence dQ block fits the VMEM budget and the
-        # caller didn't force a layout or ask for featured masks
-        fused = (not featured and transposed is None
-                 and Sq_p * D * 4 <= FUSED_BWD_DQ_BUDGET)
     assert not (fused and featured), \
         "window/softcap/segment_ids need the two-kernel standard layout"
+    if fused and Sq_p * D * 4 > FUSED_BWD_DQ_BUDGET:
+        if fused_explicit:
+            # fail fast with a clear message, not an opaque VMEM error
+            raise ValueError(
+                f"fused backward needs Sq_p*D*4 = {Sq_p * D * 4} bytes "
+                f"of resident dQ VMEM (budget {FUSED_BWD_DQ_BUDGET})")
+        fused = False  # auto pick demotes to the two-kernel design
     if fused:
         return _bwd_fused(
             q, k, v, do, lse8, di8, B=B, H=H, D=D, Sq=Sq, Skv=Skv,
