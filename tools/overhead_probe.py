@@ -43,8 +43,8 @@ def copy_blocked(x, block_rows):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--rows", type=int, default=4096)
-    ap.add_argument("--cols", type=int, default=4096)
+    ap.add_argument("--rows", type=int, default=65536)
+    ap.add_argument("--cols", type=int, default=512)
     ap.add_argument("--passes", type=int, default=3)
     args = ap.parse_args()
 
@@ -53,8 +53,10 @@ def main():
     rng = np.random.default_rng(0)
     x = jnp.asarray(rng.standard_normal((args.rows, args.cols)),
                     jnp.float32)
-    heights = [h for h in (4096, 2048, 1024, 512, 256, 128, 64, 32, 16, 8)
-               if args.rows % h == 0]
+    # keep the in/out blocks within VMEM: 2 * h * cols * 4 bytes
+    heights = [h for h in (2048, 1024, 512, 256, 128, 64, 32, 16, 8)
+               if args.rows % h == 0
+               and 2 * h * args.cols * 4 <= 10 * 2 ** 20]
     best = {}
     for p in range(args.passes):
         for h in heights:
