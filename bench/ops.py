@@ -9,6 +9,7 @@ Usage: python bench/ops.py [--family elementwise] [--S 4096] [--K 4096]
 """
 
 import argparse
+import functools
 import sys
 
 sys.path.insert(0, ".")
@@ -162,6 +163,82 @@ def bench_cross_entropy(args, rng):
             print(f"{name:<34} SKIP ({type(e).__name__}: {e})")
 
 
+def bench_grouped_matmul(args, rng):
+    """MoE expert GEMM: (T, K) tokens sorted by expert x (E, K, N)
+    expert weights, balanced and skewed splits. FLOPs scale with T, not
+    with padded capacity."""
+    T, K, N, E = 8192, 2048, 1408, 8
+    from tpukern.ops.grouped_matmul import tgmm
+    x_f = rng.standard_normal((T, K))
+    w_f = rng.standard_normal((E, K, N)) * 0.05
+    splits = {
+        "balanced": [T // E] * E,
+        "skewed": [T // 2, T // 4, T // 8, T // 16, T // 32, T // 64,
+                   T // 128, T - (T // 2 + T // 4 + T // 8 + T // 16 +
+                                  T // 32 + T // 64 + T // 128)],
+    }
+    for split_name, sizes in splits.items():
+        pretty_print_line(
+            f"grouped_matmul (T={T}, K={K}, N={N}, E={E}, {split_name})")
+        gs = jnp.asarray(sizes, jnp.int32)
+        for name, v in sorted(registry.variants("grouped_matmul").items()):
+            dt = jnp.bfloat16 if "bf16" in name else jnp.float32
+            xs = jnp.asarray(x_f, dt)
+            if name.startswith("tgmm"):
+                dy = jnp.asarray(rng.standard_normal((T, N)), dt)
+                fn = jax.jit(lambda a, b, g: tgmm(a, b, g))
+                fargs = (xs, dy, gs)
+            else:
+                ws = jnp.asarray(w_f, dt)
+                fn = jax.jit(v.fn)
+                fargs = (xs, ws, gs)
+            # tgmm contracts 8192 rows per output element: f32 rtol 1e-5
+            # flags pure accumulation-order noise (~1e-4 abs on ~30-range
+            # values), so check the long contraction at the relaxed tier
+            cdt = jnp.bfloat16 if name.startswith("tgmm") else None
+            try:
+                run_benchmark(fn, *fargs, tag=f"{name}",
+                              flops=2 * T * K * N, iters=args.iters,
+                              ref=v.ref if args.check else None,
+                              check=args.check, check_dtype=cdt)
+            except Exception as e:
+                print(f"{name:<34} SKIP ({type(e).__name__}: {e})")
+
+
+def bench_w8a16(args, rng):
+    """Weight-only int8 GEMM. Decode shape (M=16) is weight-bandwidth
+    bound — int8 weights should approach 2x over bf16; prefill shape
+    (M=4096) is MXU-bound — expect parity."""
+    from tpukern.ops.matmul_w8a16 import matmul_w8a16, quantize_weights
+    K, N = 4096, 4096
+    w = jnp.asarray(rng.standard_normal((K, N)) * 0.05, jnp.float32)
+    w_q, scale = quantize_weights(w)
+    w_q, scale = jax.device_put(w_q), jax.device_put(scale)
+    w_bf16 = jax.device_put((w_q.astype(jnp.float32)
+                             * scale[None, :]).astype(jnp.bfloat16))
+    for M in (16, 4096):
+        pretty_print_line(f"matmul_w8a16 (M={M}, K={K}, N={N})")
+        x = jnp.asarray(rng.standard_normal((M, K)), jnp.bfloat16)
+        wbytes = w_q.size
+        kern = jax.jit(functools.partial(
+            matmul_w8a16, block_m=min(512, M)))
+        dq_xla = jax.jit(lambda x, q, s: jnp.dot(
+            x, q.astype(jnp.bfloat16) * s[None, :].astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32).astype(x.dtype))
+        bf16_xla = jax.jit(lambda x, w: jnp.dot(
+            x, w, preferred_element_type=jnp.float32).astype(x.dtype))
+        for tag, fn, fa, nb in (
+                ("w8a16", kern, (x, w_q, scale), wbytes),
+                ("w8a16_dequant_xla", dq_xla, (x, w_q, scale), wbytes),
+                ("bf16_weights_xla", bf16_xla, (x, w_bf16), 2 * wbytes)):
+            try:
+                run_benchmark(fn, *fa, tag=tag, flops=2 * M * K * N,
+                              bytes_moved=nb if M == 16 else None,
+                              iters=args.iters)
+            except Exception as e:
+                print(f"{tag:<34} SKIP ({type(e).__name__}: {e})")
+
+
 def bench_sampling(args, rng):
     """Decode-shaped sampling: (B, V) logits -> (B,) token ids. Pure
     HBM-read bound (one pass over the logits for the fused kernels)."""
@@ -184,12 +261,17 @@ def main():
     rng = np.random.default_rng(0)
     fams = ([args.family] if args.family else
             EW_FAMILIES + ROW_FAMILIES + ["reduce", "misc",
-                                          "cross_entropy", "sampling"])
+                                          "cross_entropy", "sampling",
+                                          "grouped_matmul", "matmul_w8a16"])
     for fam in fams:
         if fam == "reduce":
             bench_reduce(args, rng)
         elif fam == "misc":
             bench_misc(args, rng)
+        elif fam == "grouped_matmul":
+            bench_grouped_matmul(args, rng)
+        elif fam == "matmul_w8a16":
+            bench_w8a16(args, rng)
         elif fam == "cross_entropy":
             bench_cross_entropy(args, rng)
         elif fam == "sampling":

@@ -49,12 +49,14 @@ def get_args():
     p.add_argument("--prompt", type=int, default=512)
     p.add_argument("--steps", type=int, default=32)
     p.add_argument("--pages-per-seq", type=int, default=16)
-    p.add_argument("--tiers", default="bf16,int8")
+    p.add_argument("--tiers", default="bf16,int8,w8a16,w8a16+int8")
     return p.parse_args()
 
 
-def bench_tier(cfg, args, params, prompt, dtype, tag):
+def bench_tier(cfg, args, params, prompt, dtype, tag, w8a16=False):
     B = args.B
+    if w8a16:
+        params = serving.quantize_model_weights(params)
     cache = serving.init_cache(cfg, B, args.pages_per_seq, 128, dtype=dtype)
 
     # first positional arg must be an array (device_time perturbs it to
@@ -99,11 +101,15 @@ def main():
     rng = np.random.default_rng(0)
     prompt = jnp.asarray(rng.integers(0, cfg.vocab, (args.B, args.prompt)),
                          jnp.int32)
-    tiers = {"bf16": jnp.bfloat16, "int8": jnp.int8,
-             "fp8": jnp.float8_e4m3fn}
+    # tier -> (KV-cache dtype, weight-only-int8 flag); w8a16 tiers halve
+    # the weight HBM bytes per decode step (ops/matmul_w8a16.py)
+    tiers = {"bf16": (jnp.bfloat16, False), "int8": (jnp.int8, False),
+             "fp8": (jnp.float8_e4m3fn, False),
+             "w8a16": (jnp.bfloat16, True), "w8a16+int8": (jnp.int8, True)}
     for name in args.tiers.split(","):
         try:
-            bench_tier(cfg, args, params, prompt, tiers[name], name)
+            dt, wq = tiers[name]
+            bench_tier(cfg, args, params, prompt, dt, name, w8a16=wq)
         except Exception as e:
             print(f"{name:<14} SKIP ({type(e).__name__}: {str(e)[:120]})")
 

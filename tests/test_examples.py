@@ -10,7 +10,8 @@ EXAMPLES = ["examples/vector_add.py", "examples/tiled_matmul.py",
             "examples/serving_pipeline.py",
             "examples/serving_scaled.py",
             "examples/train_tiny.py",
-            "examples/streaming_serving.py"]
+            "examples/streaming_serving.py",
+            "examples/moe_grouped_gemm.py"]
 
 
 @pytest.mark.parametrize("path", EXAMPLES)

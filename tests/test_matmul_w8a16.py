@@ -1,0 +1,67 @@
+"""Weight-only int8 GEMM: kernel vs XLA dequant-then-dot.
+
+The kernel computes exactly (x @ w_q) * scale, so vs the dequant
+reference the only tolerance needed is MXU accumulation order; vs the
+unquantized weights the error is the quantization's (bounded by the
+per-column step size)."""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from tpukern.ops.matmul_w8a16 import matmul_w8a16, quantize_weights
+
+
+def _mk(M, K, N, seed=0):
+    rng = np.random.default_rng(seed)
+    w = jnp.asarray(rng.standard_normal((K, N)) * 0.05, jnp.float32)
+    x = jnp.asarray(rng.standard_normal((M, K)), jnp.float32)
+    return x, w
+
+
+def test_quantize_roundtrip():
+    _, w = _mk(1, 256, 384)
+    q, s = quantize_weights(w)
+    assert q.dtype == jnp.int8 and s.shape == (384,)
+    wd = np.asarray(q, np.float32) * np.asarray(s)[None, :]
+    # symmetric absmax/127: error bounded by half a step per column
+    step = np.asarray(s)
+    assert np.all(np.abs(wd - np.asarray(w)) <= 0.5 * step[None, :] + 1e-7)
+
+
+@pytest.mark.parametrize("M,K,N,bm", [
+    (16, 256, 384, 16),     # decode-shaped
+    (256, 512, 256, 128),   # prefill-shaped
+    (100, 256, 200, 64),    # ragged M and N tails
+])
+def test_w8a16_matches_dequant_dot(M, K, N, bm):
+    x, w = _mk(M, K, N)
+    q, s = quantize_weights(w)
+    got = matmul_w8a16(x, q, s, block_m=bm, block_n=128, block_k=128)
+    want = jnp.dot(x, q.astype(jnp.float32) * s[None, :])
+    np.testing.assert_allclose(np.asarray(got), np.asarray(want),
+                               rtol=2e-5, atol=2e-5)
+
+
+def test_w8a16_bf16_activations():
+    x, w = _mk(64, 256, 256)
+    xb = x.astype(jnp.bfloat16)
+    q, s = quantize_weights(w)
+    got = matmul_w8a16(xb, q, s, block_m=64, block_n=128, block_k=128)
+    assert got.dtype == jnp.bfloat16
+    want = jnp.dot(x, q.astype(jnp.float32) * s[None, :])
+    np.testing.assert_allclose(np.asarray(got, np.float32),
+                               np.asarray(want), rtol=3e-2, atol=3e-2)
+
+
+def test_w8a16_close_to_unquantized():
+    x, w = _mk(32, 512, 256)
+    q, s = quantize_weights(w)
+    got = matmul_w8a16(x, q, s, block_m=32, block_n=128, block_k=128)
+    want = jnp.dot(x, w)
+    # quantization noise only: rms error a small fraction of output rms
+    err = np.asarray(got) - np.asarray(want)
+    rel = np.sqrt((err ** 2).mean()) / np.sqrt(np.asarray(want).var())
+    assert rel < 0.01, rel

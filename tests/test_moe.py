@@ -173,6 +173,28 @@ def test_dropless_skewed_routing(setup):
     assert (np.linalg.norm(np.asarray(out), axis=-1) > 0).all()
 
 
+@pytest.mark.parametrize("k", [1, 2])
+def test_dropless_kernel_tier(k, setup):
+    """use_kernel=True (ops/grouped_matmul.py) == the ragged_dot tier,
+    values and grads."""
+    params, x = setup
+    out = moe_block_dropless(x, params, k=k, use_kernel=True)
+    ref = moe_block_dropless(x, params, k=k)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=1e-4, atol=1e-4)
+
+    def loss(p, use_kernel):
+        return jnp.sum(moe_block_dropless(x, p, k=k,
+                                          use_kernel=use_kernel) ** 2)
+
+    gk = jax.grad(loss)(params, True)
+    gr = jax.grad(loss)(params, False)
+    for name in ("router", "w1", "w2"):
+        np.testing.assert_allclose(np.asarray(gk[name]),
+                                   np.asarray(gr[name]),
+                                   rtol=1e-3, atol=1e-3)
+
+
 def test_dropless_grads_flow(setup):
     params, x = setup
 

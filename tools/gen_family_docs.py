@@ -43,6 +43,8 @@ MODULES = {
     "histogram": "tpukern.ops.histogram",
     "gemv": "tpukern.ops.gemv",
     "matmul": "tpukern.ops.matmul",
+    "grouped_matmul": "tpukern.ops.grouped_matmul",
+    "matmul_w8a16": "tpukern.ops.matmul_w8a16",
     "attention": "tpukern.ops.attention",
     "paged_attention": "tpukern.ops.paged_attention",
     "nms": "tpukern.ops.nms",
@@ -75,6 +77,10 @@ COMMANDS = {
     "paged_attention": [sys.executable, "tools/family_probe.py",
                         "paged_attention"],
     "cross_entropy": OPS + ["--family", "cross_entropy"],
+    "grouped_matmul": [sys.executable, "bench/ops.py", "--family",
+                       "grouped_matmul", "--iters", "5"],
+    "matmul_w8a16": [sys.executable, "bench/ops.py", "--family",
+                     "matmul_w8a16", "--iters", "5"],
     "sampling": OPS + ["--family", "sampling"],
 }
 

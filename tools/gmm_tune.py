@@ -1,0 +1,131 @@
+"""Block autotune for the grouped-GEMM and w8a16 families on hardware.
+
+Interleaves each candidate config with the XLA baseline in the same
+pass (same-phase pairing — the tunnel's throughput drifts between
+phases, BENCH_NOTES) and reports best-of-passes.
+
+Usage: python tools/gmm_tune.py [--passes 3] [--which gmm,w8a16]
+"""
+
+import argparse
+import sys
+
+sys.path.insert(0, ".")
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax import lax
+
+from tpukern.harness.bench import device_time
+from tpukern.ops.grouped_matmul import gmm
+from tpukern.ops.matmul_w8a16 import matmul_w8a16, quantize_weights
+
+
+def _t(fn, *args):
+    return device_time(fn, *args, iters_lo=8, iters_hi=40)
+
+
+def tune_gmm(passes):
+    T, K, N, E = 8192, 2048, 1408, 8
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((T, K)), jnp.bfloat16)
+    w = jnp.asarray(rng.standard_normal((E, K, N)) * 0.05, jnp.bfloat16)
+    gs = jnp.asarray([T // E] * E, jnp.int32)
+    flops = 2 * T * K * N
+
+    cands = {f"gmm_{bm}x{bn}x{bk}": (bm, bn, bk)
+             for bm, bn, bk in [(512, 512, 512), (512, 1024, 512),
+                                (1024, 512, 512), (1024, 1024, 512),
+                                (512, 1536, 512), (256, 1024, 512),
+                                (512, 1024, 1024), (1024, 1536, 512)]}
+    best = {}
+    for p in range(passes):
+        tb = _t(jax.jit(lambda x, w, gs: lax.ragged_dot(x, w, gs)),
+                x, w, gs)
+        best["ragged_dot"] = min(best.get("ragged_dot", 9e9), tb)
+        print(f"[pass{p}] ragged_dot {flops / tb / 1e12:7.1f} TFLOPS",
+              flush=True)
+        for name, (bm, bn, bk) in cands.items():
+            try:
+                t = _t(jax.jit(lambda x, w, gs, _b=(bm, bn, bk): gmm(
+                    x, w, gs, block_m=_b[0], block_n=_b[1],
+                    block_k=_b[2])), x, w, gs)
+            except Exception as e:
+                print(f"[pass{p}] {name} FAIL {str(e)[:80]}", flush=True)
+                continue
+            best[name] = min(best.get(name, 9e9), t)
+            print(f"[pass{p}] {name} {flops / t / 1e12:7.1f} TFLOPS",
+                  flush=True)
+    print("\n== gmm best-of-passes (T=8192 K=2048 N=1408 E=8 bf16) ==")
+    for name, t in sorted(best.items(), key=lambda kv: kv[1]):
+        print(f"{name:<22} {flops / t / 1e12:7.1f} TFLOPS  "
+              f"{t / best['ragged_dot']:.2f}x ragged time")
+
+
+def tune_w8a16(passes):
+    K, N = 4096, 4096
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.standard_normal((K, N)) * 0.05, jnp.float32)
+    q, s = quantize_weights(w)
+    wb = (q.astype(jnp.float32) * s[None, :]).astype(jnp.bfloat16)
+    for M in (16, 4096):
+        x = jnp.asarray(rng.standard_normal((M, K)), jnp.bfloat16)
+        flops = 2 * M * K * N
+        cands = {f"w8a16_{bm}x{bn}x{bk}": (bm, bn, bk)
+                 for bm, bn, bk in [(1024, 1024, 512), (512, 512, 512),
+                                    (1024, 512, 512), (512, 1024, 512),
+                                    (1024, 1024, 1024), (1024, 2048, 512),
+                                    (1024, 4096, 512), (256, 4096, 512)]
+                 if bm <= max(M, 256)} or {
+                     "w8a16_dflt": (min(M, 1024), 1024, 512)}
+        if M == 16:
+            cands = {f"w8a16_16x{bn}x{bk}": (16, bn, bk)
+                     for bn, bk in [(512, 512), (1024, 512), (2048, 512),
+                                    (4096, 512), (1024, 1024),
+                                    (2048, 1024), (512, 2048),
+                                    (4096, 1024), (1024, 2048)]}
+        best = {}
+        for p in range(passes):
+            tb = _t(jax.jit(lambda x, w: jnp.dot(
+                x, w, preferred_element_type=jnp.float32
+                ).astype(x.dtype)), x, wb)
+            best["bf16_xla"] = min(best.get("bf16_xla", 9e9), tb)
+            td = _t(jax.jit(lambda x, q, s: jnp.dot(
+                x, q.astype(jnp.bfloat16) * s[None, :].astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32).astype(x.dtype)),
+                x, q, s)
+            best["dequant_xla"] = min(best.get("dequant_xla", 9e9), td)
+            for name, (bm, bn, bk) in cands.items():
+                try:
+                    t = _t(jax.jit(lambda x, q, s, _b=(bm, bn, bk):
+                                   matmul_w8a16(
+                                       x, q, s, block_m=_b[0],
+                                       block_n=_b[1], block_k=_b[2])),
+                           x, q, s)
+                except Exception as e:
+                    print(f"[pass{p}] {name} FAIL {str(e)[:80]}",
+                          flush=True)
+                    continue
+                best[name] = min(best.get(name, 9e9), t)
+            print(f"[pass{p}] M={M} done", flush=True)
+        print(f"\n== w8a16 best-of-passes (M={M} K={K} N={N}) ==")
+        for name, t in sorted(best.items(), key=lambda kv: kv[1]):
+            gbs = q.size / t / 1e9
+            print(f"{name:<22} {flops / t / 1e12:7.2f} TFLOPS  "
+                  f"{gbs:7.1f} GB/s(w)  {t * 1e3:7.3f} ms")
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--passes", type=int, default=3)
+    ap.add_argument("--which", default="gmm,w8a16")
+    args = ap.parse_args()
+    if "gmm" in args.which:
+        tune_gmm(args.passes)
+    if "w8a16" in args.which:
+        tune_w8a16(args.passes)
+
+
+if __name__ == "__main__":
+    main()

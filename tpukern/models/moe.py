@@ -161,7 +161,7 @@ def moe_block_topk(x, params, *, k=1, capacity_factor=1.25, ep_axis=None,
     return out.astype(x.dtype)
 
 
-def moe_block_dropless(x, params, *, k=1, renorm=True):
+def moe_block_dropless(x, params, *, k=1, renorm=True, use_kernel=False):
     """Dropless (token-group) tier: x (T, d) -> (T, d), no capacity limit
     and no dropped tokens.
 
@@ -193,8 +193,15 @@ def moe_block_dropless(x, params, *, k=1, renorm=True):
     xs = x[token_of]                                         # (T*k, d)
     group_sizes = jnp.bincount(expert_flat, length=E).astype(jnp.int32)
 
-    h = jax.nn.gelu(lax.ragged_dot(xs, params["w1"], group_sizes))
-    ys = lax.ragged_dot(h.astype(x.dtype), params["w2"], group_sizes)
+    if use_kernel:
+        # library grouped-GEMM kernel (ops/grouped_matmul.py) — same
+        # contraction, Pallas forward + Pallas dx/dw in the VJP
+        from tpukern.ops.grouped_matmul import grouped_matmul
+        h = jax.nn.gelu(grouped_matmul(xs, params["w1"], group_sizes))
+        ys = grouped_matmul(h.astype(x.dtype), params["w2"], group_sizes)
+    else:
+        h = jax.nn.gelu(lax.ragged_dot(xs, params["w1"], group_sizes))
+        ys = lax.ragged_dot(h.astype(x.dtype), params["w2"], group_sizes)
 
     w = gate_flat[order].astype(jnp.float32)[:, None]        # (T*k, 1)
     out = jnp.zeros((T, d), jnp.float32).at[token_of].add(

@@ -256,6 +256,38 @@ def _rope_at(x_rows, pos_rows, max_pos):
     return rope_cached(x_rows, cos[pos_rows], sin[pos_rows])
 
 
+def quantize_model_weights(params):
+    """Weight-only int8 (w8a16) serving tier: every 2-D projection
+    matrix (wq/wk/wv/wo/w1/w2 and the LM head) becomes
+    {"q": int8, "s": per-column f32} and the forward routes those
+    through ops/matmul_w8a16.py — half the weight HBM bytes per decode
+    step. Embedding and norm scales stay full precision. Serving-only
+    (the training step wants gradients w.r.t. full-precision weights)."""
+    from tpukern.ops.matmul_w8a16 import quantize_weights
+
+    def q(w):
+        qq, s = quantize_weights(w)
+        return {"q": qq, "s": s}
+
+    out = dict(params)
+    out["head"] = q(params["head"])
+    out["layers"] = [
+        {k: (q(v) if k in ("wq", "wk", "wv", "wo", "w1", "w2") else v)
+         for k, v in lp.items()}
+        for lp in params["layers"]
+    ]
+    return out
+
+
+def _wmm(h2, w):
+    """h2 @ w for full-precision weights, or the w8a16 kernel when w is
+    a quantized {"q", "s"} pair (quantize_model_weights)."""
+    if isinstance(w, dict):
+        from tpukern.ops.matmul_w8a16 import matmul_w8a16
+        return matmul_w8a16(h2, w["q"], w["s"])
+    return h2 @ w
+
+
 def _layer_qkv(h, lp, cfg: Config, positions):
     """Project + rope one batch of hidden states h (B, T, d);
     positions (B, T) are the absolute cache positions of each token."""
@@ -263,9 +295,9 @@ def _layer_qkv(h, lp, cfg: Config, positions):
     Dh, Hq, Hkv = cfg.head_dim, cfg.n_heads, cfg.n_kv_heads
     max_pos = cfg.max_seq
     h2 = h.reshape(B * T, d)
-    q = (h2 @ lp["wq"]).reshape(B, T, Hq, Dh).transpose(0, 2, 1, 3)
-    k = (h2 @ lp["wk"]).reshape(B, T, Hkv, Dh).transpose(0, 2, 1, 3)
-    v = (h2 @ lp["wv"]).reshape(B, T, Hkv, Dh).transpose(0, 2, 1, 3)
+    q = _wmm(h2, lp["wq"]).reshape(B, T, Hq, Dh).transpose(0, 2, 1, 3)
+    k = _wmm(h2, lp["wk"]).reshape(B, T, Hkv, Dh).transpose(0, 2, 1, 3)
+    v = _wmm(h2, lp["wv"]).reshape(B, T, Hkv, Dh).transpose(0, 2, 1, 3)
 
     def pos_rows(nh):
         return jnp.broadcast_to(positions[:, None, :], (B, nh, T)
@@ -279,7 +311,7 @@ def _layer_qkv(h, lp, cfg: Config, positions):
 
 
 def _mlp(h, lp):
-    return (jax.nn.gelu(h @ lp["w1"]) @ lp["w2"])
+    return _wmm(jax.nn.gelu(_wmm(h, lp["w1"])), lp["w2"])
 
 
 def prefill(params, cfg: Config, tokens, cache: KVCache, last_index=None,
@@ -301,7 +333,7 @@ def prefill(params, cfg: Config, tokens, cache: KVCache, last_index=None,
         q, k, v = _layer_qkv(hn, lp, cfg, positions)
         o = flash_attention(q, k, v, causal=True, window=cfg.window,
                             sinks=cfg.sinks, softcap=cfg.softcap)
-        o = o.transpose(0, 2, 1, 3).reshape(B * T, -1) @ lp["wo"]
+        o = _wmm(o.transpose(0, 2, 1, 3).reshape(B * T, -1), lp["wo"])
         if tp_axis is not None:  # wo is row-split: sum the partials
             o = jax.lax.psum(o, tp_axis)
         h = h + o.reshape(B, T, -1)
@@ -319,7 +351,7 @@ def prefill(params, cfg: Config, tokens, cache: KVCache, last_index=None,
         h_last = jnp.take_along_axis(
             h, last_index[:, None, None].astype(jnp.int32), axis=1)[:, 0]
     hn = rms_norm(h_last, params["lnf"])
-    logits = (hn @ params["head"]).astype(jnp.float32)
+    logits = _wmm(hn, params["head"]).astype(jnp.float32)
     n_new = T if last_index is None else last_index + 1
     new_cache = dataclasses.replace(
         cache, k_pages=k_pages, v_pages=v_pages,
@@ -368,7 +400,7 @@ def decode_step(params, cfg: Config, last_tokens, cache: KVCache,
                                 pages_per_block=ppb, window=cfg.window,
                                 softcap=cfg.softcap, ring=cache.ring,
                                 sinks=cfg.sinks)
-        o = o.reshape(B, -1) @ lp["wo"]
+        o = _wmm(o.reshape(B, -1), lp["wo"])
         if tp_axis is not None:
             o = jax.lax.psum(o, tp_axis)
         h = h + o.reshape(h.shape)
@@ -378,7 +410,7 @@ def decode_step(params, cfg: Config, last_tokens, cache: KVCache,
             mlp = jax.lax.psum(mlp, tp_axis)
         h = h + mlp.reshape(h.shape)
     hn = rms_norm(h[:, 0], params["lnf"])
-    logits = (hn @ params["head"]).astype(jnp.float32)
+    logits = _wmm(hn, params["head"]).astype(jnp.float32)
     adv = 1 if active is None else active.astype(jnp.int32)
     new_cache = dataclasses.replace(
         cache, k_pages=k_pages, v_pages=v_pages,
@@ -427,7 +459,7 @@ def verify_step(params, cfg: Config, tokens, cache: KVCache,
                                         softcap=cfg.softcap,
                                         ring=cache.ring,
                                         sinks=cfg.sinks)
-        o = o.transpose(0, 2, 1, 3).reshape(B * T, -1) @ lp["wo"]
+        o = _wmm(o.transpose(0, 2, 1, 3).reshape(B * T, -1), lp["wo"])
         if tp_axis is not None:
             o = jax.lax.psum(o, tp_axis)
         h = h + o.reshape(B, T, -1)
@@ -437,7 +469,7 @@ def verify_step(params, cfg: Config, tokens, cache: KVCache,
             mlp = jax.lax.psum(mlp, tp_axis)
         h = h + mlp.reshape(h.shape)
     hn = rms_norm(h.reshape(B * T, -1), params["lnf"])
-    logits = (hn @ params["head"]).astype(jnp.float32).reshape(B, T, -1)
+    logits = _wmm(hn, params["head"]).astype(jnp.float32).reshape(B, T, -1)
     new_cache = dataclasses.replace(
         cache, k_pages=k_pages, v_pages=v_pages,
         lengths=cache.lengths + T, k_scales=k_scales,

@@ -20,6 +20,8 @@ from tpukern.ops import (  # noqa: F401
     nms,
     gemv,
     matmul,
+    matmul_w8a16,
+    grouped_matmul,
     attention,
     paged_attention,
     quant,
