@@ -11,20 +11,23 @@ scale with sum(group_sizes) rather than E * ceil-padded capacity.
 
 Design (TPU-first, not a CUDA translation):
 
-- The grid's tile axis enumerates (m-block, group) work items. A block
-  of bm token rows can intersect at most two groups, so the static tile
-  count is ceil(T/bm) + E - 1; the actual schedule (which group, which
+- The grid's tile axis enumerates (m-block, group) work items. An
+  m-block may be visited by several consecutive tiles — one per
+  non-empty group whose rows intersect it — and each group boundary
+  inside a block adds at most one extra tile, so the static tile count
+  is bounded by ceil(T/bm) + E - 1; the actual schedule (which group, which
   m-block, the live row range, whether this is the block's first visit)
   is computed from `group_sizes` with jnp and handed to the kernel as a
   scalar-prefetch (SMEM) table, exactly like the paged-attention page
   tables (ops/paged_attention.py).
 - Grid order is (n, tile, k) with k innermost: the f32 accumulator
   lives in VMEM scratch across k steps, and when a boundary m-block is
-  visited by two consecutive tiles (group e, then e+1) the OUTPUT block
-  index is unchanged, so the block stays VMEM-resident and the second
-  visit merges its disjoint row range into the first's with a masked
+  visited by consecutive tiles (groups e, e+1, ...) the OUTPUT block
+  index is unchanged, so the block stays VMEM-resident and each later
+  visit merges its disjoint row range into the prior ones with a masked
   add — no atomics, no second HBM pass (the same revisit contract the
-  accio matmul kernels rely on, ops/matmul.py kernel_accio).
+  accio matmul kernels rely on, ops/matmul.py kernel_accio). Tests
+  cover 8 groups landing in a single m-block.
 - Phantom tiles (the static bound minus the actual tile count) re-visit
   the last real tile with an empty row range: every ref they touch is
   in range and the masked merge writes back the block unchanged, so
@@ -342,6 +345,15 @@ def _tgmm_ref(x, dy, group_sizes, **_):
     return jnp.einsum("etk,tn->ekn", xg, dy)
 
 
+def _tgmm_zeroed(x, dy, group_sizes, **kw):
+    # tgmm leaves empty-group slabs UNWRITTEN (documented above) while
+    # _tgmm_ref returns zeros there — zero them here so a --check or
+    # doc run with an empty-group split compares deterministically.
+    dw = tgmm(x, dy, group_sizes, **kw)
+    return jnp.where((group_sizes > 0)[:, None, None], dw,
+                     jnp.zeros_like(dw))
+
+
 register("grouped_matmul", "tgmm_f32", ref=_tgmm_ref,
          flops=lambda x, dy, gs, **_:
-         2 * int(jnp.sum(gs)) * x.shape[1] * dy.shape[1])(tgmm)
+         2 * int(jnp.sum(gs)) * x.shape[1] * dy.shape[1])(_tgmm_zeroed)

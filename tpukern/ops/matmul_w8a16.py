@@ -86,6 +86,16 @@ def matmul_w8a16(x, w_q, scale, *, block_m=1024, block_n=None,
             if K % cand == 0:
                 bk = cand
                 break
+        else:
+            # no 128-multiple divisor <= block_k: bk=K would put whole
+            # (bm, K) + (K, bn) slabs in VMEM — a silent VMEM blowup for
+            # prime-ish K. Fail loudly instead (pad K to a 128 multiple
+            # upstream, or pass a block_k that divides K).
+            raise ValueError(
+                f"matmul_w8a16: K={K} has no multiple-of-128 divisor <= "
+                f"block_k={block_k}; the contraction tail is unmasked, so "
+                f"K must be divisible by some 128-multiple block. Pad K "
+                f"or pass block_k dividing K.")
     nI, nJ, nK = -(-M // bm), -(-N // bn), K // bk
 
     def kernel(x_ref, w_ref, s_ref, o_ref, acc_ref):
