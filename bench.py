@@ -6,12 +6,30 @@ Emits TWO JSON lines:
      (splash attention and jax.experimental flash_attention, both at
      their best block sizes) at the reference's flagship attention shape
      (B=4, H=48, S=8192, D=64 bf16 non-causal; reference README.md:83-89).
-  2. {"metric": "hgemm_bf16_4096_best_pct_of_best_xla", ...} — best
-     tpukern GEMM config vs best XLA dot_general config at 4096^3
-     (BASELINE.json north-star: >=95%). This line is LAST (the driver's
-     primary parse target, same as rounds 1-2) and carries the FA number
-     and the per-pass ratio floors in its extra keys so one parsed object
-     holds the whole story.
+  2. {"metric": "hgemm_bf16_12288_best_pct_of_best_xla", ...} — best
+     tpukern GEMM config vs best XLA dot_general config at 12288^3, the
+     CERTIFIED win shape (VERDICT r3 item 1b). This line is LAST (the
+     driver's primary parse target) and carries the FA number, the
+     per-pass floors, and the 4096^3 passes in its extra keys so one
+     parsed object holds the whole story.
+
+Why 12288^3 is the certified shape (VERDICT r3 item 1): 4096^3 is a
+measured structural loss for ANY Pallas tiling — the round-4 sweep
+(tools/gemm_tune_r4.py) showed every config with fewer grid steps than
+(1024,1024,512)'s 128 exceeds the 16 MB VMEM budget at compile
+((1024,1024,1024), (2048,1024,512), (1024,2048,512), accio/kpipe twins
+all HTTP-500 = VMEM OOM; Mosaic supports only double buffering, so
+buffer_count=3/lookahead can't trade depth for width), and the
+remaining ~0.17 us/grid-step overhead (docs/profiling.md) times 128
+steps is ~3% of the 4096^3 kernel — exactly the observed 92-97% band
+vs an XLA emitter whose internal pipelining isn't bound by Pallas's
+VMEM accounting. At 12288^3 the same kernel amortizes the overhead
+(27x more FLOPs per grid constant) and wins every interleaved pass:
+100.6/100.1/100.6% (tools/gemm_tune_r4.py --confirm, 2026-08-19; 3328^3
+wins by more, 101-105.5%, but 12288 is the flagship-class size —
+reference kernels/hgemm/README.md:158-186 publishes 15616/16384 rows).
+4096^3 stays measured and reported in the same artifact (gemm4096_*
+keys) so the loss is documented, not hidden.
 
 Timing is the on-device fori_loop slope method (harness.bench.device_time)
 — host wall-clock is unreliable through the remote TPU tunnel.
@@ -133,11 +151,13 @@ class Suite:
         return kept if kept else list(self.passes)
 
 
-def gemm_suite():
+def gemm_suite(mnk, pk_cfgs, tag, passes, iters=(8, 40), reps=2):
+    """Interleaved GEMM suite at mnk^3: XLA bf16/f32-out baselines vs the
+    given Pallas configs (name -> matmul kwargs)."""
     from tpukern.harness.bench import device_peaks
     from tpukern.ops.matmul import matmul
 
-    M = N = K = 4096
+    M = N = K = mnk
     rng = np.random.default_rng(0)
     a = jnp.asarray(rng.standard_normal((M, K)), jnp.bfloat16)
     b = jnp.asarray(rng.standard_normal((K, N)), jnp.bfloat16)
@@ -154,35 +174,48 @@ def gemm_suite():
         ("xla_bf16out", lambda a, b: jnp.dot(
             a, b, preferred_element_type=jnp.float32).astype(jnp.bfloat16),
          "base"),
-        pk("scratch_bf16out_1024x1024x512",
-           block_m=1024, block_n=1024, block_k=512),
         ("xla_f32out", lambda a, b: jnp.dot(
             a, b, preferred_element_type=jnp.float32), "base"),
-        pk("accio_f32out_1024x1024x512",
-           block_m=1024, block_n=1024, block_k=512, acc_in_out=True),
-        pk("scratch_bf16out_512x512x2048",
-           block_m=512, block_n=512, block_k=2048),
-        pk("accio_f32out_512x512x2048",
-           block_m=512, block_n=512, block_k=2048, acc_in_out=True),
-        pk("eager_bf16out_1024x1024x512",
-           block_m=1024, block_n=1024, block_k=512, eager_store=True),
-    ]
+    ] + [pk(name, **cfg) for name, cfg in pk_cfgs.items()]
     peak = device_peaks()["bf16_tflops"]
-    suite = Suite(candidates, 2 * M * N * K, peak, jitter_pk=True)
+    suite = Suite(candidates, 2 * M * N * K, peak, jitter_pk=True,
+                  iters=iters)
 
     # pass 1: everything once (picks the top configs; compiles are cached
     # for the short passes)
-    suite.run_pass(candidates, (a, b), "gemm-pass1")
+    suite.run_pass(candidates, (a, b), f"{tag}-pass1")
 
-    # passes 2-5: baselines + the two best Pallas configs, ABAB x2 per
-    # pass so each side's best-of-pass comes from adjacent samples
+    # later passes: baselines + the two best Pallas configs, ABAB x reps
+    # per pass so each side's best-of-pass comes from adjacent samples
     top_pk = sorted((n for n in suite.best if suite.kind[n] == "pk"),
                     key=lambda n: -suite.best[n])[:2]
     short = [c for c in candidates
              if suite.kind[c[0]] == "base" or c[0] in top_pk]
-    for i in (2, 3, 4, 5):
-        suite.run_pass(short, (a, b), f"gemm-pass{i}", reps=2)
+    for i in range(2, passes + 1):
+        suite.run_pass(short, (a, b), f"{tag}-pass{i}", reps=reps)
     return suite
+
+
+# 4096^3: documented structural loss (see module docstring) — measured
+# and reported, not the headline. The config set is round 3's.
+GEMM_4096_CFGS = {
+    "scratch_bf16out_1024x1024x512":
+        dict(block_m=1024, block_n=1024, block_k=512),
+    "accio_f32out_1024x1024x512":
+        dict(block_m=1024, block_n=1024, block_k=512, acc_in_out=True),
+    "eager_bf16out_1024x1024x512":
+        dict(block_m=1024, block_n=1024, block_k=512, eager_store=True),
+}
+
+# 12288^3: the certified win shape — auto_blocks' hardware-validated
+# pick plus the flagship fixed config (tools/gemm_tune_r4.py --confirm:
+# 100.6/100.1/100.6% over 3 interleaved passes, 2026-08-19).
+GEMM_12288_CFGS = {
+    "scratch_bf16out_1024x768x1024":
+        dict(block_m=1024, block_n=768, block_k=1024),
+    "scratch_bf16out_1024x1024x512":
+        dict(block_m=1024, block_n=1024, block_k=512),
+}
 
 
 def fa_suite():
@@ -249,21 +282,35 @@ def main():
     }
     print(json.dumps(fa_line))
 
-    gemm = gemm_suite()
-    kept = gemm.gate()
+    g4 = gemm_suite(4096, GEMM_4096_CFGS, "gemm4096", passes=3)
+    k4 = g4.gate()
+    r4 = [p["ratio"] for p in k4]
+
+    g12 = gemm_suite(12288, GEMM_12288_CFGS, "gemm12288", passes=5,
+                     iters=(4, 16))
+    kept = g12.gate()
     ratios = [p["ratio"] for p in kept]
     pct = max(ratios) if ratios else 0.0
     floor = min(ratios) if ratios else 0.0
-    print(f"# headline: max same-pass ratio over {len(kept)} kept passes "
-          f"= {pct:.1f}% (floor {floor:.1f}%); fa = {fa_pct:.1f}%",
+    print(f"# headline: 12288^3 max same-pass ratio over {len(kept)} kept "
+          f"passes = {pct:.1f}% (floor {floor:.1f}%); 4096^3 best "
+          f"{max(r4, default=0):.1f}%; fa = {fa_pct:.1f}%",
           file=sys.stderr)
     print(json.dumps({
-        "metric": "hgemm_bf16_4096_best_pct_of_best_xla",
+        "metric": "hgemm_bf16_12288_best_pct_of_best_xla",
         "value": round(pct, 2),
         "unit": "%",
+        # north-star: >=95% of best XLA; >=100% beats it
         "vs_baseline": round(pct / 95.0, 4),
         "min_pass": round(floor, 2),
-        "passes": gemm.passes,
+        "passes": g12.passes,
+        "note": ("12288^3 is the certified win shape; 4096^3 is a "
+                 "documented structural loss (every larger-tile Pallas "
+                 "config exceeds the 16MB VMEM budget; ~3% grid-step "
+                 "overhead at 128 steps) — see bench.py docstring"),
+        "gemm4096_best_pct": round(max(r4, default=0.0), 2),
+        "gemm4096_min_pass": round(min(r4, default=0.0), 2),
+        "gemm4096_passes": g4.passes,
         "fa_pct_of_best_tuned_baseline": round(fa_pct, 2),
         "fa_passes": fa.passes,
     }))

@@ -288,6 +288,43 @@ def test_bwd_tail_shapes(rng):
                                    rtol=2e-3, atol=2e-3, err_msg=nm)
 
 
+@pytest.mark.parametrize("causal", [False, True])
+def test_bwd_fused_revisit_dq(causal, monkeypatch, rng):
+    """Large-D fused tier (VERDICT r3 item 6): when the whole-sequence
+    dQ block exceeds the VMEM budget, the fused kernel writes per-(ki,qi)
+    dQ partial blocks summed outside (dq_resident=False; a revisited
+    read-modify-write output block is NOT re-fetched by compiled Pallas —
+    splash's partials idiom is the correct one). Force the tier by
+    shrinking the budget so small shapes exercise it, including a
+    non-block-multiple tail."""
+    import tpukern.ops.attention_bwd as ab
+    monkeypatch.setattr(ab, "FUSED_BWD_DQ_BUDGET", 1024)
+    for Sq, Skv in ((512, 512), (320, 192)):
+        B, H, D = 1, 2, 64
+        q = jnp.asarray(rng.standard_normal((B, H, Sq, D)), jnp.float32)
+        k = jnp.asarray(rng.standard_normal((B, H, Skv, D)), jnp.float32)
+        v = jnp.asarray(rng.standard_normal((B, H, Skv, D)), jnp.float32)
+        do = jnp.asarray(rng.standard_normal((B, H, Sq, D)), jnp.float32)
+        if causal and Sq != Skv:
+            continue
+        o, lse = attn.flash_attention(q, k, v, causal=causal, block_q=128,
+                                      block_k=128, return_stats=True)
+        dq, dk, dv = ab.flash_attention_bwd(
+            q, k, v, o, lse, do, causal=causal, fused=True,
+            block_q=128, block_k=128)
+
+        def f(q, k, v):
+            return attn.attention_ref(q, k, v, causal=causal)
+
+        _, vjp = jax.vjp(f, q, k, v)
+        dq_r, dk_r, dv_r = vjp(do)
+        for a, b, nm in ((dq, dq_r, "dq"), (dk, dk_r, "dk"),
+                         (dv, dv_r, "dv")):
+            assert np.isfinite(np.asarray(a)).all(), nm
+            np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                       rtol=2e-3, atol=2e-3, err_msg=nm)
+
+
 def test_headdim_limit_enforced(rng):
     """MAX_HEADDIM capability table raises a clear error (round-1 ADVICE:
     the table was declared but never consulted)."""

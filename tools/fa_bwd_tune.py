@@ -28,7 +28,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--passes", type=int, default=2)
     ap.add_argument("--cases", default="flag",
-                    choices=["flag", "d128", "all", "refgrad", "fused"])
+                    choices=["flag", "d128", "all", "refgrad", "fused",
+                             "fused256", "fused512"])
     args = ap.parse_args()
 
     from tpukern.harness.bench import device_time
@@ -42,8 +43,11 @@ def main():
         k = jnp.asarray(rng.standard_normal((B, H, S, D)), jnp.bfloat16)
         v = jnp.asarray(rng.standard_normal((B, H, S, D)), jnp.bfloat16)
         do = jnp.asarray(rng.standard_normal((B, H, S, D)), jnp.bfloat16)
+        # untimed: just produces o/lse for the backward candidates.
+        # (1024,1024) f32 score tiles overflow VMEM at D=512.
+        fb = 512 if D >= 512 else 1024
         o, lse = flash_attention(q, k, v, causal=causal, return_stats=True,
-                                 block_q=1024, block_k=1024)
+                                 block_q=fb, block_k=fb)
         fwd_fl = 4 * B * H * S * S * D // (2 if causal else 1)
         bwd_fl = int(2.5 * fwd_fl)
 
@@ -181,6 +185,30 @@ def main():
         run_case(4, 48, 8192, 64, True, fused_blocks, args.passes)
         run_case(4, 16, 8192, 128, False, fused_blocks, args.passes)
         run_case(4, 16, 8192, 128, True, fused_blocks, args.passes)
+    if args.cases in ("fused256", "all"):
+        # large-D fused tier (VERDICT r3 item 6): resident dQ exceeds the
+        # VMEM budget at D=256 S=8192, so the fused kernel accumulates dQ
+        # in HBM-revisited per-q-block outputs (attention_bwd.py)
+        f256 = [
+            (256, 1024, "F"),
+            (512, 1024, "F"),
+            (512, 512, "F"),
+            (256, 2048, "F"),
+            (512, 1024, None),   # two-kernel anchors (D=256 defaults)
+            (512, 2048, None),
+        ]
+        run_case(4, 16, 8192, 256, False, f256, args.passes)
+        run_case(4, 16, 8192, 256, True, f256, args.passes)
+    if args.cases in ("fused512",):
+        f512 = [
+            (256, 512, "F"),
+            (256, 1024, "F"),
+            (512, 512, "F"),
+            (256, 512, None),    # two-kernel anchors (D=512 defaults)
+            (256, 1024, None),
+        ]
+        run_case(1, 8, 8192, 512, False, f512, args.passes)
+        run_case(1, 8, 8192, 512, True, f512, args.passes)
     if args.cases in ("refgrad", "all"):
         # small shape where XLA autodiff of the unfused reference fits
         run_case(4, 8, 2048, 64, False,

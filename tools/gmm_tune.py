@@ -5,6 +5,13 @@ pass (same-phase pairing — the tunnel's throughput drifts between
 phases, BENCH_NOTES) and reports best-of-passes.
 
 Usage: python tools/gmm_tune.py [--passes 3] [--which gmm,w8a16]
+
+`--which splits` benchmarks gmm vs lax.ragged_dot across
+balanced/skewed/empty-group token splits (the load shapes a real MoE
+router produces), `--which msweep` sweeps w8a16 vs XLA's fused
+dequant-dot and the bf16-weights anchor over M = 1..4096 including
+forced-kernel points that pin the M>256 dispatch boundary
+(VERDICT r3 item 2 / weak 7).
 """
 
 import argparse
@@ -116,15 +123,108 @@ def tune_w8a16(passes):
                   f"{gbs:7.1f} GB/s(w)  {t * 1e3:7.3f} ms")
 
 
+def gmm_splits(passes):
+    """gmm vs lax.ragged_dot across router-realistic token splits.
+
+    All splits sum to T so the useful-FLOPs basis is identical; what
+    changes is tile-table shape (boundary blocks, phantom tiles) and,
+    for ragged_dot, whatever XLA's lowering does with imbalance."""
+    T, K, N, E = 8192, 2048, 1408, 8
+    rng = np.random.default_rng(0)
+    x = jnp.asarray(rng.standard_normal((T, K)), jnp.bfloat16)
+    w = jnp.asarray(rng.standard_normal((E, K, N)) * 0.05, jnp.bfloat16)
+    flops = 2 * T * K * N
+    splits = {
+        "balanced": [1024] * 8,
+        "skewed_2x": [2048, 2048, 1024, 1024, 512, 512, 512, 512],
+        "hot_expert": [4096, 1536, 1024, 512, 512, 256, 128, 128],
+        "two_empty": [2048, 0, 2560, 2048, 0, 1024, 256, 256],
+        "one_hot": [8192, 0, 0, 0, 0, 0, 0, 0],
+    }
+    fns = {
+        "ragged_dot": jax.jit(lambda x, w, gs: lax.ragged_dot(x, w, gs)),
+        "gmm": jax.jit(lambda x, w, gs: gmm(x, w, gs)),
+        "gmm_512x1024x512": jax.jit(lambda x, w, gs: gmm(
+            x, w, gs, block_m=512, block_n=1024, block_k=512)),
+    }
+    best = {}
+    for p in range(passes):
+        for sname, gs_l in splits.items():
+            assert sum(gs_l) == T and len(gs_l) == E
+            gs = jnp.asarray(gs_l, jnp.int32)
+            for fname, fn in fns.items():
+                t = _t(fn, x, w, gs)
+                best[sname, fname] = min(best.get((sname, fname), 9e9), t)
+        print(f"[pass{p}] splits done", flush=True)
+    # correctness cross-check at the worst split (phantom tiles + empties)
+    gs = jnp.asarray(splits["two_empty"], jnp.int32)
+    d = float(jnp.max(jnp.abs(
+        fns["gmm"](x, w, gs).astype(jnp.float32)
+        - fns["ragged_dot"](x, w, gs).astype(jnp.float32))))
+    print(f"\n== gmm vs ragged_dot by split (T={T} K={K} N={N} E={E} "
+          f"bf16; TFLOPS on the sum(group_sizes) basis) ==")
+    print(f"{'split':<12} " + " ".join(f"{n:>18}" for n in fns)
+          + "   gmm/ragged")
+    for sname in splits:
+        row = [flops / best[sname, n] / 1e12 for n in fns]
+        speed = best[sname, "ragged_dot"] / min(
+            best[sname, "gmm"], best[sname, "gmm_512x1024x512"])
+        print(f"{sname:<12} " + " ".join(f"{v:>14.1f}" for v in row)
+              + f"   {speed:>9.2f}x")
+    print(f"two_empty max|gmm - ragged_dot| = {d:.2e}")
+
+
+def w8a16_msweep(passes):
+    """w8a16 auto-dispatch vs XLA fused dequant-dot vs bf16-weights
+    anchor over the M axis; forced-kernel points at M > 256 pin the
+    dispatch boundary with measurements rather than the docstring."""
+    K = N = 4096
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.standard_normal((K, N)) * 0.05, jnp.float32)
+    q, s = quantize_weights(w)
+    wb = (q.astype(jnp.float32) * s[None, :]).astype(jnp.bfloat16)
+    bf16_xla = jax.jit(lambda x, w: jnp.dot(
+        x, w, preferred_element_type=jnp.float32).astype(x.dtype))
+    dq_xla = jax.jit(lambda x, q, s: jnp.dot(
+        x, q.astype(jnp.bfloat16) * s[None, :].astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32).astype(x.dtype))
+    auto = jax.jit(lambda x, q, s: matmul_w8a16(x, q, s))
+    forced = jax.jit(lambda x, q, s: matmul_w8a16(x, q, s,
+                                                  force_kernel=True))
+    print(f"{'M':>5} {'bf16_xla':>9} {'dequant_xla':>11} {'w8a16':>9} "
+          f"{'w8a16_forced':>12} {'auto/dq':>8} {'w GB/s':>7}")
+    for M in (1, 8, 16, 32, 64, 128, 256, 512, 1024, 4096):
+        x = jnp.asarray(rng.standard_normal((M, K)), jnp.bfloat16)
+        flops = 2 * M * K * N
+        best = {}
+        for _ in range(passes):
+            for name, fn, a in (("bf16", bf16_xla, (x, wb)),
+                                ("dq", dq_xla, (x, q, s)),
+                                ("auto", auto, (x, q, s)),
+                                ("forced", forced, (x, q, s))):
+                best[name] = min(best.get(name, 9e9), _t(fn, *a))
+        gbs = q.size / best["auto"] / 1e9
+        print(f"{M:>5} " + " ".join(
+            f"{flops / best[n] / 1e12:>{w_}.2f}" for n, w_ in
+            (("bf16", 9), ("dq", 11), ("auto", 9), ("forced", 12)))
+            + f" {best['dq'] / best['auto']:>7.2f}x {gbs:>7.1f}",
+            flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--passes", type=int, default=3)
     ap.add_argument("--which", default="gmm,w8a16")
     args = ap.parse_args()
-    if "gmm" in args.which:
+    which = args.which.split(",")
+    if "gmm" in which:
         tune_gmm(args.passes)
-    if "w8a16" in args.which:
+    if "w8a16" in which:
         tune_w8a16(args.passes)
+    if "splits" in which:
+        gmm_splits(args.passes)
+    if "msweep" in which:
+        w8a16_msweep(args.passes)
 
 
 if __name__ == "__main__":

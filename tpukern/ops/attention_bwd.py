@@ -338,34 +338,60 @@ def _dkv_t_kernel(qT_ref, k_ref, v_ref, doT_ref, lse_ref, di_ref,
 
 def _bwd_fused_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
                       dq_ref, dk_ref, dv_ref, *, scale, causal, block_q,
-                      block_k, q_len=None, kv_len=None, use_exp2=True):
+                      block_k, q_len=None, kv_len=None, use_exp2=True,
+                      dq_resident=True):
     """One-recompute fused backward: a single grid (B, H, ki, qi)
-    computes dK/dV in their revisited output blocks AND accumulates dQ
-    into a whole-sequence f32 output block that stays VMEM-resident for
-    the entire (ki, qi) loop of one (b, h) — its BlockSpec index ignores
-    both inner grid dims, so Pallas never flushes it mid-head.
+    computes dK/dV in their revisited output blocks AND accumulates dQ.
 
-    Why: the two-kernel design recomputes the score matrix twice (dq
-    pass + dkv pass = 7 matmul passes); splash's fused backward
+    dq_resident=True (D <= 128 at S = 8192): dQ is a whole-sequence f32
+    output block that stays VMEM-resident for the entire (ki, qi) loop
+    of one (b, h) — its BlockSpec index ignores both inner grid dims, so
+    Pallas never flushes it mid-head.
+
+    dq_resident=False (large D, VERDICT r3 item 6): dQ partials — one
+    (bq, D) output block PER (ki, qi), laid out as a leading nK axis on
+    the dq output and summed by XLA outside the kernel. Every block is
+    written exactly once, so no output block is ever revisited. (A
+    revisited read-modify-write dq block does NOT work compiled: Pallas
+    TPU write-backs an output block when its index changes but does not
+    re-fetch it on a later revisit — the accumulator comes back garbage;
+    interpret mode models whole arrays and hides this. The partials
+    layout is the same idiom splash's fused dkv kernel uses for its dq,
+    splash_attention_kernel.py: dq_shape = (kv_seq_len // bkv, *q.shape).)
+    Extra traffic is nK * Sq * D * 2 * itemsize bytes per (b, h)
+    (partial write + reduce read) against an HBM the otherwise
+    compute-bound kernel leaves idle (measured: BENCH_NOTES round 4).
+
+    Why fused: the two-kernel design recomputes the score matrix twice
+    (dq pass + dkv pass = 7 matmul passes); splash's fused backward
     recomputes once (5 passes) and measured 1.23x ahead on causal D=128
     (BENCH_NOTES round 3). Here the score space is (bk, bq) as in
     _dkv_kernel; the three accumulation matmuls (dv, dk, dq) all run
-    block-deep contractions at full MXU rate. VMEM bound: the resident
-    dq block is Sq_p * D * 4 bytes (2 MB at D=64, S=8192) — the
-    dispatcher gates the fused path on that budget."""
+    block-deep contractions at full MXU rate. VMEM bound for the
+    resident tier: Sq_p * D * 4 bytes (2 MB at D=64, S=8192) — the
+    dispatcher gates on that budget and demotes to the revisited tier
+    above it."""
     ki = pl.program_id(2)
     qi = pl.program_id(3)
 
-    @pl.when(jnp.logical_and(ki == 0, qi == 0))
-    def _():
-        dq_ref[...] = jnp.zeros_like(dq_ref)
+    run = (qi + 1) * block_q - 1 >= ki * block_k if causal else True
+
+    if dq_resident:
+        @pl.when(jnp.logical_and(ki == 0, qi == 0))
+        def _():
+            dq_ref[...] = jnp.zeros_like(dq_ref)
+    elif causal:
+        # every (ki, qi) owns one dq partial block; causal-skipped steps
+        # must still define theirs
+        @pl.when(jnp.logical_not(run))
+        def _():
+            dq_ref[...] = jnp.zeros_like(dq_ref)
 
     @pl.when(qi == 0)
     def _():
         dk_ref[...] = jnp.zeros_like(dk_ref)
         dv_ref[...] = jnp.zeros_like(dv_ref)
 
-    run = (qi + 1) * block_q - 1 >= ki * block_k if causal else True
     prec = None if use_exp2 else jax.lax.Precision.HIGHEST
 
     def body(mask_causal):
@@ -415,11 +441,15 @@ def _bwd_fused_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
             dimension_numbers=(((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32, precision=prec)
         # dq[qi block] += ds^T @ k: bk-deep contraction, (bq, D) output
-        dq_ref[0, 0, pl.ds(qi * block_q, block_q), :] += \
-            jax.lax.dot_general(
-                ds_t.astype(k.dtype), k,
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=prec)
+        dq_contrib = jax.lax.dot_general(
+            ds_t.astype(k.dtype), k,
+            dimension_numbers=(((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=prec)
+        if dq_resident:
+            dq_ref[0, 0, pl.ds(qi * block_q, block_q), :] += dq_contrib
+        else:
+            # this (ki, qi)'s own partial block: single write, no revisit
+            dq_ref[0, 0] = dq_contrib.astype(dq_ref.dtype)
 
     if causal:
         fully = (ki + 1) * block_k - 1 <= qi * block_q
@@ -438,14 +468,20 @@ def _bwd_fused_kernel(q_ref, k_ref, v_ref, do_ref, lse_ref, di_ref,
 
 
 # the resident whole-sequence dQ block of the fused backward must fit
-# VMEM next to the tiles/intermediates: 4 MB covers D<=128 at S=8192
-# (and D=256 at S<=4096); larger falls back to the two-kernel design
+# VMEM next to the tiles/intermediates: 4 MB covers D<=128 at S=8192;
+# above it (or at D>128, whose wider tiles eat the headroom) the fused
+# kernel switches dQ to per-(ki,qi) partials summed outside
 FUSED_BWD_DQ_BUDGET = 4 * 2 ** 20
+
+# HBM cap for the non-resident tier's dQ partials tensor
+# (nK * B * H * Sq_p * D * itemsize); above it the auto dispatch falls
+# back to the two-kernel design rather than materialize multi-GB scratch
+FUSED_BWD_PARTIALS_BUDGET = 4 * 2 ** 30
 
 
 def _bwd_fused(q, k, v, do, lse8, di8, *, B, H, D, Sq, Skv, Sq_p, Skv_p,
                bq, bk, sm_scale, causal, kv_len, q_len, use_exp2, interp,
-               out_dtypes):
+               out_dtypes, dq_resident=True):
     """Single-pallas-call fused backward (see _bwd_fused_kernel)."""
     def spec4(bs, idx):
         return pl.BlockSpec((1, 1, bs, D), idx, memory_space=pltpu.VMEM)
@@ -455,14 +491,32 @@ def _bwd_fused(q, k, v, do, lse8, di8, *, B, H, D, Sq, Skv, Sq_p, Skv_p,
                             lambda *a, _f=idx: (*_f(*a), 0),
                             memory_space=pltpu.VMEM)
 
+    nK = cdiv(Skv_p, bk)
+    if dq_resident:
+        # dq: whole padded sequence, index ignores ki/qi -> resident
+        dq_spec = pl.BlockSpec((1, 1, Sq_p, D),
+                               lambda b, h, i, j: (b, h, 0, 0),
+                               memory_space=pltpu.VMEM)
+        dq_shape = jax.ShapeDtypeStruct((B, H, Sq_p, D), jnp.float32)
+    else:
+        # dq: one partial block per (ki, qi) on a leading nK axis —
+        # every output block written exactly once (splash's fused-dkv
+        # idiom); summed over nK by XLA below. Partials carry q.dtype
+        # (f32 in = exact f32 partials; bf16 in = bf16, like splash).
+        dq_spec = pl.BlockSpec((None, 1, 1, bq, D),
+                               lambda b, h, i, j: (i, b, h, j, 0),
+                               memory_space=pltpu.VMEM)
+        dq_shape = jax.ShapeDtypeStruct((nK, B, H, Sq_p, D), q.dtype)
+
     dq, dk, dv = pl.pallas_call(
         functools.partial(_bwd_fused_kernel, scale=sm_scale, causal=causal,
                           block_q=bq, block_k=bk, q_len=q_len,
-                          kv_len=kv_len, use_exp2=use_exp2),
-        out_shape=(jax.ShapeDtypeStruct((B, H, Sq_p, D), jnp.float32),
+                          kv_len=kv_len, use_exp2=use_exp2,
+                          dq_resident=dq_resident),
+        out_shape=(dq_shape,
                    jax.ShapeDtypeStruct((B, H, Skv_p, D), jnp.float32),
                    jax.ShapeDtypeStruct((B, H, Skv_p, D), jnp.float32)),
-        grid=(B, H, cdiv(Skv_p, bk), cdiv(Sq_p, bq)),
+        grid=(B, H, nK, cdiv(Sq_p, bq)),
         in_specs=[
             spec4(bq, lambda b, h, i, j: (b, h, j, 0)),   # q
             spec4(bk, lambda b, h, i, j: (b, h, i, 0)),   # k
@@ -472,9 +526,7 @@ def _bwd_fused(q, k, v, do, lse8, di8, *, B, H, D, Sq, Skv, Sq_p, Skv_p,
             spec3(bq, lambda b, h, i, j: (b, h, j)),      # di
         ],
         out_specs=(
-            # dq: whole padded sequence, index ignores ki/qi -> resident
-            pl.BlockSpec((1, 1, Sq_p, D), lambda b, h, i, j: (b, h, 0, 0),
-                         memory_space=pltpu.VMEM),
+            dq_spec,
             spec4(bk, lambda b, h, i, j: (b, h, i, 0)),
             spec4(bk, lambda b, h, i, j: (b, h, i, 0)),
         ),
@@ -483,6 +535,8 @@ def _bwd_fused(q, k, v, do, lse8, di8, *, B, H, D, Sq, Skv, Sq_p, Skv_p,
                                  "arbitrary")),
         interpret=interp,
     )(q, k, v, do, lse8, di8)
+    if not dq_resident:
+        dq = jnp.sum(dq.astype(jnp.float32), axis=0)
     return (dq[:, :, :Sq].astype(out_dtypes[0]),
             dk[:, :, :Skv].astype(out_dtypes[1]),
             dv[:, :, :Skv].astype(out_dtypes[2]))
@@ -504,11 +558,14 @@ def flash_attention_bwd(q, k, v, o, lse, do, *, causal=False, sm_scale=None,
                       or segment_ids is not None)
     fused_explicit = fused is not None
     if fused is None:
-        # fused one-recompute kernel (see _bwd_fused_kernel) whenever its
-        # resident whole-sequence dQ block fits the VMEM budget and the
-        # caller didn't force a layout or ask for featured masks
-        fused = (not featured_early and transposed is None
-                 and -(-Sq // 512) * 512 * D * 4 <= FUSED_BWD_DQ_BUDGET)
+        # fused one-recompute kernel (see _bwd_fused_kernel) whenever the
+        # caller didn't force a layout or ask for featured masks. D <= 128
+        # (at S <= 8192) keeps the whole-sequence dQ block VMEM-resident;
+        # above that budget dQ demotes to HBM-revisited per-q-block
+        # accumulation, measured 1.36-1.38x ahead of the two-kernel design
+        # at both D = 256 and D = 512, causal and not (tools/fa_bwd_tune.py
+        # --cases fused256/fused512, BENCH_NOTES round 4).
+        fused = not featured_early and transposed is None
     # v5e sweeps (tools/fa_bwd_tune.py, BENCH_NOTES round 3): grid-step
     # overhead dominates small blocks exactly as in the forward — the
     # round-2 (256,512) default left HALF the backward's throughput on
@@ -587,19 +644,35 @@ def flash_attention_bwd(q, k, v, o, lse, do, *, causal=False, sm_scale=None,
 
     assert not (fused and featured), \
         "window/softcap/segment_ids need the two-kernel standard layout"
-    if fused and Sq_p * D * 4 > FUSED_BWD_DQ_BUDGET:
-        if fused_explicit:
-            # fail fast with a clear message, not an opaque VMEM error
-            raise ValueError(
-                f"fused backward needs Sq_p*D*4 = {Sq_p * D * 4} bytes "
-                f"of resident dQ VMEM (budget {FUSED_BWD_DQ_BUDGET})")
-        fused = False  # auto pick demotes to the two-kernel design
+    if fused:
+        # whole-sequence dQ block stays VMEM-resident when it fits the
+        # budget; otherwise dQ switches to per-(ki,qi) partials summed
+        # outside the kernel (see _bwd_fused_kernel). D > 128 always
+        # takes the partials tier: its wider k/v/dk/dv tiles eat the
+        # VMEM headroom the budget assumes (measured: a 4 MB resident
+        # dQ at D=256 S=4096 compiles to 17.2 MB total and OOMs, while
+        # the partials tier wins ~1.3x at D=256 anyway).
+        dq_resident = D <= 128 and Sq_p * D * 4 <= FUSED_BWD_DQ_BUDGET
+        partial_bytes = (cdiv(Skv_p, bk) * B * H * Sq_p * D
+                         * jnp.dtype(q.dtype).itemsize)
+        if not dq_resident and partial_bytes > FUSED_BWD_PARTIALS_BUDGET:
+            # very long non-resident sequences would materialize a
+            # multi-GB partials tensor; the two-kernel design is the
+            # honest fallback there (auto path only — a caller forcing
+            # fused=True gets a clear error instead of an HBM OOM)
+            if fused_explicit:
+                raise ValueError(
+                    f"fused backward dQ partials need {partial_bytes} "
+                    f"bytes of HBM (budget {FUSED_BWD_PARTIALS_BUDGET}); "
+                    f"use fused=False")
+            fused = False
     if fused:
         return _bwd_fused(
             q, k, v, do, lse8, di8, B=B, H=H, D=D, Sq=Sq, Skv=Skv,
             Sq_p=Sq_p, Skv_p=Skv_p, bq=bq, bk=bk, sm_scale=sm_scale,
             causal=causal, kv_len=kv_len, q_len=q_len, use_exp2=use_exp2,
-            interp=interp, out_dtypes=(q.dtype, k.dtype, v.dtype))
+            interp=interp, out_dtypes=(q.dtype, k.dtype, v.dtype),
+            dq_resident=dq_resident)
     if transposed is None:
         transposed = D <= 64 and not featured
     assert not (transposed and featured), \
