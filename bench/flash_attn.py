@@ -39,6 +39,8 @@ def get_args():
                         "reference's published benchmark grid, "
                         "flash_attn_mma.py:431-434)")
     p.add_argument("--plot", default="bench/plots/fa_sweep.png")
+    p.add_argument("--sweep-passes", type=int, default=1,
+                   help="best-of-N interleaved passes per sweep-plot point")
     p.add_argument("--causal", action="store_true")
     p.add_argument("--check", action="store_true")
     p.add_argument("--check-all", action="store_true",
@@ -86,24 +88,28 @@ def sweep_plot(args):
                 return fl / device_time(fn, q, k, v, iters_lo=4,
                                         iters_hi=12) / 1e12
 
+            # best over --sweep-passes interleaved passes per point: both
+            # sides sampled adjacently each pass, so thin margins aren't
+            # tunnel-phase artifacts (the ~3% drift band, BENCH_NOTES)
             row = {}
-            try:
-                row["tpukern"] = t(lambda q, k, v: flash_attention(
-                    q, k, v, causal=causal))
-            except Exception as e:
-                print(f"# D={D} S={S} tpukern FAIL {str(e)[:80]}",
-                      flush=True)
-            spl = 0.0
-            for (bq, bkv) in ((1024, 2048), (512, 1024)):
+            for _ in range(args.sweep_passes):
                 try:
-                    spl = max(spl, t(lambda q, k, v, _bq=bq, _bkv=bkv:
-                                     splash_baseline(q, k, v, causal=causal,
-                                                     block_q=_bq,
-                                                     block_kv=_bkv)))
-                except Exception:
-                    pass
-            if spl:
-                row["splash"] = spl
+                    row["tpukern"] = max(
+                        row.get("tpukern", 0.0),
+                        t(lambda q, k, v: flash_attention(
+                            q, k, v, causal=causal)))
+                except Exception as e:
+                    print(f"# D={D} S={S} tpukern FAIL {str(e)[:80]}",
+                          flush=True)
+                for (bq, bkv) in ((1024, 2048), (512, 1024)):
+                    try:
+                        row["splash"] = max(
+                            row.get("splash", 0.0),
+                            t(lambda q, k, v, _bq=bq, _bkv=bkv:
+                              splash_baseline(q, k, v, causal=causal,
+                                              block_q=_bq, block_kv=_bkv)))
+                    except Exception:
+                        pass
             results[(D, S)] = row
             pk, sp = row.get("tpukern"), row.get("splash")
             r = f"  ratio {pk / sp:5.2f}x" if pk and sp else ""

@@ -29,7 +29,9 @@ def main():
     ap.add_argument("--passes", type=int, default=2)
     ap.add_argument("--cases", default="flag",
                     choices=["flag", "d128", "all", "refgrad", "fused",
-                             "fused256", "fused512"])
+                             "fused256", "fused512", "bwdgrid"])
+    ap.add_argument("--no-causal", action="store_true",
+                    help="bwdgrid: run the non-causal grid instead")
     args = ap.parse_args()
 
     from tpukern.harness.bench import device_time
@@ -53,6 +55,11 @@ def main():
 
         cands = {}
         for (bq, bk, tr) in blocks:
+            if tr == "auto":  # production dispatch, no block override
+                cands["pk_bwd(auto)"] = (
+                    "bwd", lambda q, k, v, o, lse, do: flash_attention_bwd(
+                        q, k, v, o, lse, do, causal=causal))
+                continue
             if tr == "F":  # fused one-recompute kernel
                 nm = f"pk_bwd({bq},{bk})F"
                 cands[nm] = ("bwd", lambda q, k, v, o, lse, do, _bq=bq,
@@ -68,15 +75,18 @@ def main():
                              fused=False))
 
         # external baselines: time fwd alone and the full vjp, then report
-        # vjp - fwd as the backward estimate
+        # vjp - fwd as the backward estimate. 1024-class blocks VMEM-OOM
+        # their backwards at D >= 256 (BENCH_NOTES round 4), so the
+        # baseline block class shrinks with D to give them a real anchor.
         import math
+        bl = 1024 if D <= 128 else 512 if D == 256 else 256
         from jax.experimental.pallas.ops.tpu import (
             flash_attention as _jax_fa)
         bs = _jax_fa.BlockSizes(
-            block_q=1024, block_k_major=1024, block_k=1024, block_b=1,
-            block_q_major_dkv=1024, block_k_major_dkv=1024,
-            block_k_dkv=1024, block_q_dkv=1024,
-            block_k_major_dq=1024, block_k_dq=1024, block_q_dq=1024)
+            block_q=bl, block_k_major=bl, block_k=bl, block_b=1,
+            block_q_major_dkv=bl, block_k_major_dkv=bl,
+            block_k_dkv=bl, block_q_dkv=bl,
+            block_k_major_dq=bl, block_k_dq=bl, block_q_dq=bl)
 
         def jaxfa(q, k, v):
             return _jax_fa.flash_attention(
@@ -94,10 +104,10 @@ def main():
                     else _sam.FullMask((S, S)))
             mh = _sam.MultiHeadMask([mask] * q.shape[1])
             bs = _sak.BlockSizes(
-                block_q=1024, block_kv=1024, block_kv_compute=1024,
-                block_q_dkv=1024, block_kv_dkv=1024,
-                block_kv_dkv_compute=1024,
-                block_q_dq=1024, block_kv_dq=1024)
+                block_q=bl, block_kv=bl, block_kv_compute=bl,
+                block_q_dkv=bl, block_kv_dkv=bl,
+                block_kv_dkv_compute=bl,
+                block_q_dq=bl, block_kv_dq=bl)
             kern = _sak.make_splash_mha(mh, block_sizes=bs, head_shards=1,
                                         q_seq_shards=1)
             sm = 1.0 / math.sqrt(D)
@@ -209,6 +219,16 @@ def main():
         ]
         run_case(1, 8, 8192, 512, False, f512, args.passes)
         run_case(1, 8, 8192, 512, True, f512, args.passes)
+    if args.cases in ("bwdgrid",):
+        # published backward grid (VERDICT r3 item 3): the production
+        # auto-dispatch backward vs tuned-external vjp-minus-fwd at every
+        # head-dim tier; causal by default (--no-causal for the twin).
+        # (B, H) per tier follow the forward sweep (bench/flash_attn.py).
+        tiers = {64: (4, 48), 128: (4, 16), 256: (2, 8), 512: (1, 8)}
+        for D, (B, H) in tiers.items():
+            for S in (2048, 8192):
+                run_case(B, H, S, D, not args.no_causal,
+                         [(None, None, "auto")], args.passes)
     if args.cases in ("refgrad", "all"):
         # small shape where XLA autodiff of the unfused reference fits
         run_case(4, 8, 2048, 64, False,
