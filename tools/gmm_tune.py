@@ -211,6 +211,46 @@ def w8a16_msweep(passes):
             flush=True)
 
 
+def w8a16_boundary(passes):
+    """Block-config probe at the two measured dispatch losses (M=64
+    0.79x, M=256 0.93x vs dequant-XLA — BENCH_NOTES round 4 M-sweep).
+    If no config beats dequant-XLA, the dispatch window narrows; if one
+    does, it becomes the M-tier block default."""
+    K = N = 4096
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.standard_normal((K, N)) * 0.05, jnp.float32)
+    q, s = quantize_weights(w)
+    dq_xla = jax.jit(lambda x, q, s: jnp.dot(
+        x, q.astype(jnp.bfloat16) * s[None, :].astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32).astype(x.dtype))
+    for M in (64, 256):
+        x = jnp.asarray(rng.standard_normal((M, K)), jnp.bfloat16)
+        flops = 2 * M * K * N
+        cands = [(bn, bk) for bn in (512, 1024, 2048, 4096)
+                 for bk in (512, 1024, 2048)]
+        best = {}
+        for p in range(passes):
+            best["dq_xla"] = min(best.get("dq_xla", 9e9),
+                                 _t(dq_xla, x, q, s))
+            for bn, bk in cands:
+                nm = f"w8a16_{M}x{bn}x{bk}"
+                try:
+                    t = _t(jax.jit(lambda x, q, s, _b=(bn, bk):
+                                   matmul_w8a16(x, q, s, block_n=_b[0],
+                                                block_k=_b[1],
+                                                force_kernel=True)),
+                           x, q, s)
+                except Exception as e:
+                    print(f"[pass{p}] {nm} FAIL {str(e)[:60]}", flush=True)
+                    continue
+                best[nm] = min(best.get(nm, 9e9), t)
+            print(f"[pass{p}] M={M} done", flush=True)
+        print(f"\n== w8a16 boundary probe (M={M} K={K} N={N}) ==")
+        for name, t in sorted(best.items(), key=lambda kv: kv[1]):
+            print(f"{name:<22} {flops / t / 1e12:7.2f} TFLOPS  "
+                  f"{best['dq_xla'] / t:5.2f}x dq", flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--passes", type=int, default=3)
@@ -225,6 +265,8 @@ def main():
         gmm_splits(args.passes)
     if "msweep" in which:
         w8a16_msweep(args.passes)
+    if "boundary" in which:
+        w8a16_boundary(args.passes)
 
 
 if __name__ == "__main__":
