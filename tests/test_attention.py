@@ -243,6 +243,30 @@ def test_prefill_offset_multiblock(rng):
                                rtol=1e-4, atol=1e-4)
 
 
+@pytest.mark.parametrize("offset_blocks", [0, 2])
+@pytest.mark.parametrize("stats", [False, True])
+def test_causal_diag_quadrant(offset_blocks, stats, rng):
+    """The bq==bk aligned-causal diagonal block takes the 2-half quadrant
+    decomposition (_fa_kernel.body_diag, skips 25% of diagonal-block MXU
+    work); pin it across several diagonal blocks, with GQA, an aligned
+    causal_offset, and the stats output, against the unfused reference."""
+    B, H, D, bq = 1, 4, 64, 128
+    off = offset_blocks * bq
+    Sq, Skv = 512, 512 + off
+    q = jnp.asarray(rng.standard_normal((B, H, Sq, D)), jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, 2, Skv, D)), jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, 2, Skv, D)), jnp.float32)
+    out = attn.flash_attention(q, k, v, causal=True, causal_offset=off,
+                               block_q=bq, block_k=bq, return_stats=stats)
+    if stats:
+        out, lse = out
+        assert lse.shape[:3] == (B, H, Sq)
+    ref = attn.attention_ref_offset(q, jnp.repeat(k, 2, 1),
+                                    jnp.repeat(v, 2, 1), causal_offset=off)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+
+
 @pytest.mark.parametrize("causal", [False, True])
 def test_bwd_multiblock_gqa(causal, rng):
     """Backward kernels at S >= 4 blocks with GQA grouping."""

@@ -62,7 +62,8 @@ MAX_HEADDIM = {
 def _fa_kernel(*refs, causal, block_q, block_k, with_stats,
                has_alibi, causal_offset=0, kv_len=None, use_exp2=True,
                has_carry_in=False, carry_out=False, window=None,
-               has_segments=False, softcap=None, duo=False, sinks=None):
+               has_segments=False, softcap=None, duo=False, sinks=None,
+               diag_quadrant=False):
     """Online-softmax body, by default in log2 space: q arrives pre-scaled
     by sm_scale*log2(e), so p = exp2(s - m) uses the VPU's fast exp2 and
     saves one multiply per score element (the rescale-then-update
@@ -263,6 +264,42 @@ def _fa_kernel(*refs, causal, block_q, block_k, with_stats,
         acc_ref[...] = (acc_ref[...].astype(jnp.float32) * alpha + pv
                         ).astype(acc_ref.dtype)
 
+    def body_diag():
+        # Exactly-diagonal block (bq == bk, block-aligned causal offset —
+        # the caller sets diag_quadrant only then): the upper-right
+        # quadrant is fully masked, so a 2-row-half decomposition skips
+        # 25% of the block's MXU and VPU work (the low row half only
+        # scores the low kv half). The halves are independent
+        # online-softmax chains over disjoint row ranges.
+        exp_fn = jnp.exp2 if use_exp2 else jnp.exp
+        hq = block_q // 2
+        q = q_ref[0, 0]
+        k = k_ref[0, 0]
+        v = v_ref[0, 0]
+        for lo, hi, kw in ((0, hq, hq), (hq, block_q, block_k)):
+            s = jax.lax.dot_general(
+                q[lo:hi], k[:kw],
+                dimension_numbers=(((1,), (1,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec)
+            rows = jax.lax.broadcasted_iota(jnp.int32, s.shape, 0) + lo
+            cols = jax.lax.broadcasted_iota(jnp.int32, s.shape, 1)
+            s = jnp.where(cols <= rows, s, NEG_BIG)
+            m_prev = m_ref[lo:hi, :1]
+            l_prev = l_ref[lo:hi, :1]
+            m_cur = jnp.max(s, axis=-1, keepdims=True)
+            m_next = jnp.maximum(m_prev, m_cur)
+            alpha = exp_fn(m_prev - m_next)
+            p = exp_fn(s - m_next)
+            l_ref[lo:hi, :1] = (alpha * l_prev
+                                + jnp.sum(p, axis=-1, keepdims=True))
+            m_ref[lo:hi, :1] = m_next
+            pv = jax.lax.dot_general(
+                p.astype(v.dtype), v[:kw],
+                dimension_numbers=(((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=prec)
+            acc_ref[lo:hi] = (acc_ref[lo:hi].astype(jnp.float32) * alpha
+                              + pv).astype(acc_ref.dtype)
+
     # Diagonal specialization WITHOUT lax.cond (a cond fast path measured
     # 40% slower — it breaks grid pipelining): two disjoint pl.when
     # regions, so fully-visible interior blocks skip the whole iota/
@@ -278,7 +315,10 @@ def _fa_kernel(*refs, causal, block_q, block_k, with_stats,
         @pl.when(jnp.logical_and(should_run,
                                  jnp.logical_not(fully_visible)))
         def _():
-            body(True)
+            if diag_quadrant:
+                body_diag()
+            else:
+                body(True)
     else:
         @pl.when(should_run)
         def _():
@@ -386,13 +426,19 @@ def flash_attention(q, k, v, *, causal=False, sm_scale=None,
     # causal prefers bq >= bk (block-level triangle skipping wastes less
     # of each KV block near the diagonal)
     if block_q is None:
-        # non-causal: bq=1024 at EVERY D (round-3 sweep: (1024,1024) wins
+        # bq=1024 at EVERY D (round-3 non-causal sweep: (1024,1024) wins
         # at D=256 167.7 and D=512 172.2 TFLOPS — 1.02x/1.04x of tuned
-        # splash; round 2's bq=512 default trailed splash at D=512)
-        block_q = 512 if (causal and D > 256) else 1024
+        # splash; round-4 causal tune: same shape wins causal too)
+        block_q = 1024
     if block_k is None:
         if causal:
-            block_k = 1024 if D <= 128 else 512 if D <= 256 else 256
+            # causal: bq=bk=1024 at EVERY D (round-4 re-tune,
+            # tools/fa512_tune.py --causal: (1024,1024) wins 110.6-119.4%
+            # of best splash at D in {256,512} x S in {4096,8192}; the
+            # round-2-era 512/256 KV blocks lost up to 31%). Equal
+            # aligned blocks also enable the diagonal-quadrant body and
+            # the frontier KV-index pinning (see diag_quadrant below).
+            block_k = 1024
         else:
             block_k = 2048 if (D <= 128 and Skv >= 4096) else 1024
     bq = min(block_q, Sq)
@@ -434,6 +480,14 @@ def flash_attention(q, k, v, *, causal=False, sm_scale=None,
             "only; use the standard kernel for alibi/segments/softcap/"
             "window")
         assert bk % 256 == 0  # guaranteed by the rounding at bk selection
+    # Exactly-diagonal quadrant decomposition (see _fa_kernel.body_diag):
+    # only when the masked pl.when region is provably the single aligned
+    # diagonal block and no feature re-shapes the mask.
+    diag_quadrant = (causal and bq == bk and isinstance(causal_offset, int)
+                     and causal_offset % bk == 0 and Skv % bk == 0
+                     and window is None and not has_alibi
+                     and segment_ids is None and softcap is None
+                     and not duo)
     kernel = functools.partial(
         _fa_kernel, causal=causal,
         block_q=bq, block_k=bk, with_stats=return_stats,
@@ -441,7 +495,7 @@ def flash_attention(q, k, v, *, causal=False, sm_scale=None,
         kv_len=Skv if Skv % bk else None, use_exp2=use_exp2,
         has_carry_in=carry is not None, carry_out=return_carry,
         window=window, sinks=sinks, has_segments=segment_ids is not None,
-        softcap=softcap, duo=duo)
+        softcap=softcap, duo=duo, diag_quadrant=diag_quadrant)
 
     # lse carries an 8-wide trailing dim: Mosaic block shapes need the
     # last two dims (8, 128)-aligned or array-sized. Only materialized
@@ -469,16 +523,30 @@ def flash_attention(q, k, v, *, causal=False, sm_scale=None,
                 jax.ShapeDtypeStruct((B, Hq, Sq_p, 8), jnp.float32))
             out_specs.append(_stat_spec)
 
+    # KV index map: past the causal frontier the kernel body is switched
+    # off (pl.when should_run), but the pipeline would still DMA the
+    # mapped KV block. Pinning skipped steps' index at the frontier makes
+    # the mapped index equal the previous step's, so the pipeline skips
+    # the fetch entirely — a skipped causal step then costs only grid
+    # overhead, not a dead (bk, D) K + V fetch. Same trick for blocks
+    # below a sliding window's band (unless sinks re-admit low blocks).
+    if causal and isinstance(causal_offset, int):
+        def _kv_idx(b, h, i, j, _g=group):
+            jj = jnp.minimum(j, ((i + 1) * bq - 1 + causal_offset) // bk)
+            if window is not None and sinks is None:
+                jj = jnp.maximum(
+                    jj, jnp.maximum(
+                        0, (i * bq + causal_offset - window + 1) // bk))
+            return (b, h // _g, jj, 0)
+    else:
+        def _kv_idx(b, h, i, j, _g=group):
+            return (b, h // _g, j, 0)
     in_specs = [
         pl.BlockSpec((1, 1, bq, D),
                      lambda b, h, i, j: (b, h, i, 0),
                      memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, bk, D),
-                     lambda b, h, i, j, _g=group: (b, h // _g, j, 0),
-                     memory_space=pltpu.VMEM),
-        pl.BlockSpec((1, 1, bk, D),
-                     lambda b, h, i, j, _g=group: (b, h // _g, j, 0),
-                     memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, bk, D), _kv_idx, memory_space=pltpu.VMEM),
+        pl.BlockSpec((1, 1, bk, D), _kv_idx, memory_space=pltpu.VMEM),
     ]
     args = [q, k, v]
     if has_alibi:
@@ -753,14 +821,25 @@ def flash_attention_tpv(q, k, v, *, causal=False, sm_scale=None,
                 jax.ShapeDtypeStruct((B, Hq, 8, Sq_p), jnp.float32))
             out_specs.append(_statT_spec)
 
+    # pin skipped causal steps' KV index at the frontier so their dead
+    # K/V^T fetches are elided by the pipeline (same-index no-refetch —
+    # see the standard kernel's _kv_idx for the full rationale)
+    if causal and isinstance(causal_offset, int):
+        def _kv_j(i, j):
+            return jnp.minimum(j, ((i + 1) * bq - 1 + causal_offset) // bk)
+    else:
+        def _kv_j(i, j):
+            return j
     in_specs = [
         pl.BlockSpec((1, 1, D, bq), lambda b, h, i, j: (b, h, 0, i),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, bk, D),
-                     lambda b, h, i, j, _g=group: (b, h // _g, j, 0),
+                     lambda b, h, i, j, _g=group: (b, h // _g,
+                                                   _kv_j(i, j), 0),
                      memory_space=pltpu.VMEM),
         pl.BlockSpec((1, 1, D, bk),
-                     lambda b, h, i, j, _g=group: (b, h // _g, 0, j),
+                     lambda b, h, i, j, _g=group: (b, h // _g, 0,
+                                                   _kv_j(i, j)),
                      memory_space=pltpu.VMEM),
     ]
     args = [qT, k, vT]
