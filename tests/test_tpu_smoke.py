@@ -276,3 +276,46 @@ def test_softmax_online_tails():
     x = _mk((300, 1000), jnp.float32, rng)
     assert _maxdiff(online_softmax_per_token(x),
                     jax.nn.softmax(x, axis=-1)) < 1e-5
+
+
+def test_w8a16_dispatch_boundary():
+    # both sides of the measured dispatch window (BENCH_NOTES round-4
+    # M-sweep/boundary probe) compiled on hardware: the kernel tier and
+    # the XLA dequant-dot tier must agree with the f32 dequant reference,
+    # and force_kernel must pin the Pallas path at a large M that the
+    # auto dispatch routes to XLA.
+    from tpukern.ops.matmul_w8a16 import matmul_w8a16, quantize_weights
+    rng = _rng()
+    w = jnp.asarray(rng.standard_normal((1024, 768)) * 0.05, jnp.float32)
+    q, s = quantize_weights(w)
+    ref_w = q.astype(jnp.float32) * s[None, :]
+    for M in (8, 64, 512):
+        x = _mk((M, 1024), rng=rng)
+        ref = jnp.dot(x.astype(jnp.float32), ref_w)
+        scale = float(jnp.max(jnp.abs(ref)))
+        auto = matmul_w8a16(x, q, s)
+        forced = matmul_w8a16(x, q, s, force_kernel=True)
+        assert _maxdiff(auto, ref) / scale < 2e-2
+        assert _maxdiff(forced, ref) / scale < 2e-2
+
+
+def test_gmm_skewed_groups():
+    # grouped GEMM compiled on hardware with a skewed router split
+    # including an empty group (the tile-table path interpret CI covers;
+    # Mosaic lowering of the masked-merge chain is only proven here)
+    from tpukern.ops.grouped_matmul import gmm
+    rng = _rng()
+    T, K, N, E = 1024, 512, 640, 4
+    x = _mk((T, K), rng=rng)
+    w = jnp.asarray(rng.standard_normal((E, K, N)) * 0.05, jnp.bfloat16)
+    gs = jnp.asarray([600, 0, 24, 400], jnp.int32)
+    out = gmm(x, w, gs, block_m=256, block_n=256, block_k=256)
+    # reference: per-group dense matmul on the f32 upcast
+    starts = np.concatenate([[0], np.cumsum(np.asarray(gs))])
+    ref = np.zeros((T, N), np.float32)
+    for e in range(E):
+        seg = slice(int(starts[e]), int(starts[e + 1]))
+        ref[seg] = (np.asarray(x, np.float32)[seg]
+                    @ np.asarray(w[e], np.float32))
+    scale = float(np.max(np.abs(ref))) or 1.0
+    assert _maxdiff(out, jnp.asarray(ref)) / scale < 2e-2

@@ -50,12 +50,16 @@ def matmul_w8a16(x, w_q, scale, *, block_m=1024, block_n=None,
     precision; the scale multiply happens once per output element on the
     last K step, not per dequantized weight.
 
-    Dispatch tier (measured, tools/gmm_tune.py): small-M (decode-shaped)
-    calls are weight-bandwidth bound — the Pallas kernel reads int8 at
-    675 GB/s = 1.9x the bf16-weights rate and 1.1x XLA's own fused
-    dequant-dot. Large-M calls are MXU-bound and XLA's dequant-fused
-    emitter wins (181 vs 166 TFLOPS at 4096^3), so they route to
-    jnp.dot with an inline dequant XLA fuses into the operand read.
+    Dispatch tier (measured, tools/gmm_tune.py + the round-4 interleaved
+    A/B at the window edge): M <= 128 (decode-shaped) calls are
+    weight-bandwidth bound — the Pallas kernel reads int8 at ~676 GB/s =
+    1.9x the bf16-weights rate and 1.02-1.11x XLA's own fused
+    dequant-dot across M in {1..128}. From M = 256 up the call turns
+    MXU-bound and XLA's dequant-fused emitter wins (162 vs 150 TFLOPS at
+    M=256, 181 vs 166 at 4096^3), so M > 128 routes to jnp.dot with an
+    inline dequant XLA fuses into the operand read. (Round-3's M <= 256
+    window shipped a measured 0.91x loss at M=256 — BENCH_NOTES round-4
+    boundary entry.)
     """
     M, K = x.shape
     Kw, N = w_q.shape
@@ -63,7 +67,7 @@ def matmul_w8a16(x, w_q, scale, *, block_m=1024, block_n=None,
     out_dtype = out_dtype or x.dtype
     compute_dtype = x.dtype
 
-    if M > 256 and not force_kernel:
+    if M > 128 and not force_kernel:
         cd = jnp.bfloat16 if compute_dtype == jnp.bfloat16 else jnp.float32
         w = w_q.astype(cd) * scale[None, :].astype(cd)
         return jnp.dot(x, w, preferred_element_type=jnp.float32
@@ -73,8 +77,9 @@ def matmul_w8a16(x, w_q, scale, *, block_m=1024, block_n=None,
         block_n = 1024
     if block_k is None:
         # decode shapes profit from deeper K blocks (fewer, fatter DMAs:
-        # 16x1024x1024 measured best); large-M kernel calls keep 512
-        block_k = 1024 if M <= 256 else 512
+        # 16x1024x1024 measured best); forced large-M kernel calls keep
+        # 512 (the 1024-deep block loses its VMEM residency there)
+        block_k = 1024 if M <= 128 else 512
 
     bm = min(block_m, M)
     bn = min(block_n, N)
