@@ -37,6 +37,25 @@ CONFIGS = [
 ]
 
 
+def size_configs(s):
+    """Size-derived candidates: exact-M sublane-aligned tilings (bm = s/4,
+    s/8 when 16-multiples — the MXU only needs sublane alignment on the
+    second-to-last dim), low-pad 128-multiple N blocks, and K blocks the
+    in-kernel tail mask can handle."""
+    out = []
+    for div in (4, 8):
+        bm = s // div
+        if bm % 16:
+            continue
+        for bn in (512, 896, 1024, 1152):
+            pad = (-(-s // bn) * bn - s) / s
+            if pad > 0.10:
+                continue
+            for bk in (256, 512):
+                out.append((bm, bn, bk, {}))
+    return out
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--sizes", default="4352,5888")
@@ -55,7 +74,7 @@ def main():
                  + ")": auto} | {
             f"{bm}x{bn}x{bk}" + ("A" if kw else ""):
                 dict(block_m=bm, block_n=bn, block_k=bk, **kw)
-            for bm, bn, bk, kw in CONFIGS}
+            for bm, bn, bk, kw in CONFIGS + size_configs(s)}
 
         def t(fn, jit, a=a, b=b):
             for _ in range(2):
@@ -74,7 +93,8 @@ def main():
             best["xla"] = max(best.get("xla", 0.0), bx)
             for name, cfg in cands.items():
                 try:
-                    v = t(lambda a, b, _c=cfg: matmul(a, b, **_c), True)
+                    v = t(lambda a, b, _c=cfg, **kw: matmul(a, b, **_c, **kw),
+                          True)
                 except Exception as e:
                     print(f"  {name} FAIL {str(e)[:80]}", flush=True)
                     cands[name] = None
