@@ -407,7 +407,7 @@ def matmul_naive(a, b, *, block_m=256, block_n=256, out_dtype=None,
 
 @functools.lru_cache(maxsize=512)
 def auto_blocks(M, N, K, peak_flops=197e12, hbm_bw=819e9,
-                vmem_budget=10 * 2 ** 20, step_overhead=7e-7):
+                vmem_budget=10 * 2 ** 20, step_overhead=1.2e-7):
     """Shape-aware block sizes from an analytic roofline model. Fixed
     1024-blocks collapse to 46-77% of XLA at non-multiple sizes from tail
     padding (e.g. M=2304 pads 33% of MXU rows), but pure
@@ -429,19 +429,32 @@ def auto_blocks(M, N, K, peak_flops=197e12, hbm_bw=819e9,
     the 24-block cap silently excluded bk=512 at K=16384 — the measured
     ~100%-of-XLA config — leaving the flagship size at 95.8% in round 3's
     first sweep. Below 12288 the cap never binds on bk >= 512, so the
-    extension is scoped to where the cap was the problem and every pick
-    at smaller sizes stays identical to the hardware-measured round-3
-    sweep (93.9-105.4% at the odd 4352-class)."""
-    def sizes(d, gran, cap, max_n=24):
+    extension is scoped to where the cap was the problem.
+
+    Round 4 recalibration (tools/gemm_odd_probe.py): (1) block_m also
+    admits EXACT divisors of M up to 1536 — the MXU only needs sublane
+    (16) alignment there, and the measured 4352/5888 winners are the
+    exact-quarter tilings (1088x896x256 = 97.0% and 1472-row = 95.9% of
+    XLA) that the old 1024 cap excluded; (2) step_overhead drops 7e-7 ->
+    1.2e-7, calibrated against the direct 0.17 us/grid-step probe
+    (tools/overhead_probe.py, round 3) and the odd-class probes: the old
+    value overbilled many-step exact-K tilings ~4x, steering the model
+    away from measured winners. Every pick this changes (11 of 32 sizes
+    on the 256..8192 fine-sweep grid) is hardware-validated old-vs-new
+    in BENCH_NOTES round 4."""
+    def sizes(d, gran, cap, max_n=24, exact_to=0):
         out = []
         for n in range(1, min(-(-d // gran), max_n) + 1):
             b = min(cap, -(-(-(-d // n)) // gran) * gran)
             if n * b >= d and (not out or b != out[-1]):
                 out.append(b)
+        for b in range(cap + gran, exact_to + 1, gran):
+            if d % b == 0:
+                out.append(b)
         return sorted(set(out), reverse=True)
 
     best = None
-    for bm in sizes(M, 16, 1024):
+    for bm in sizes(M, 16, 1024, exact_to=1536):
         for bn in sizes(N, 128, 2048):
             for bk in sizes(K, 128, 2048, max_n=64 if K > 12288 else 24):
                 # scratch-accumulator bf16-out budget (the general case):
