@@ -48,11 +48,55 @@ so the floor is visible — VERDICT r2 item 2).
 
 import json
 import sys
+import time
 
 import numpy as np
 
 import jax
 import jax.numpy as jnp
+
+
+def wait_for_backend(max_wait_s=900, sleep_s=30):
+    """Poll jax.devices() until the TPU backend initializes.
+
+    Round 4's graded artifact was zeroed by a transient axon-tunnel
+    outage at exactly this point (BENCH_r04.json rc=1): one backend-init
+    exception killed the whole artifact with no retry. The outage is
+    transient (the judge reproduced the hang, and the backend recovered
+    by round 5), so retry for up to max_wait_s before giving up.
+    Returns the device list on success, None on timeout.
+    """
+    deadline = time.time() + max_wait_s
+    attempt = 0
+    while True:
+        attempt += 1
+        try:
+            devs = jax.devices()
+            if devs:
+                print(f"# backend up after {attempt} attempt(s): {devs}",
+                      file=sys.stderr)
+                return devs
+        except Exception as e:
+            print(f"# backend init attempt {attempt} failed: "
+                  f"{type(e).__name__}: {str(e)[:160]}", file=sys.stderr)
+        if time.time() >= deadline:
+            return None
+        time.sleep(sleep_s)
+
+
+def emit_unavailable(error):
+    """Emit the stable metric lines with value 0 so the graded artifact
+    is parseable (never silent) even when the backend never comes up."""
+    print(json.dumps({
+        "metric": "fa_bf16_4x48x8192x64_pct_of_best_tuned_baseline",
+        "value": 0, "unit": "%", "vs_baseline": 0.0, "error": error,
+    }))
+    print(json.dumps({
+        "metric": "hgemm_bf16_12288_best_pct_of_best_xla",
+        "value": 0, "unit": "%", "vs_baseline": 0.0, "error": error,
+        "note": ("backend unavailable at bench time; see BENCH_NOTES.md "
+                 "for the most recent builder-run tables"),
+    }))
 
 
 def _time(fn, *args, retries=3, jitter=False, iters_lo=8, iters_hi=40):
@@ -268,52 +312,88 @@ def fa_suite():
 
 
 def main():
-    fa = fa_suite()
-    fa_kept = fa.gate()
-    fa_pct = 100.0 * max((p["ratio"] / 100.0 for p in fa_kept),
-                         default=0.0)
+    if wait_for_backend() is None:
+        emit_unavailable("backend_unavailable")
+        return  # rc=0, parseable artifact — never silent again (r4 item 1)
+
+    errors = {}
+    fa_pct, fa_passes = 0.0, []
+    try:
+        fa = fa_suite()
+        fa_kept = fa.gate()
+        fa_pct = 100.0 * max((p["ratio"] / 100.0 for p in fa_kept),
+                             default=0.0)
+        fa_passes = fa.passes
+    except Exception as e:
+        errors["fa"] = f"{type(e).__name__}: {str(e)[:200]}"
+        print(f"# fa suite FAILED: {errors['fa']}", file=sys.stderr)
     fa_line = {
         "metric": "fa_bf16_4x48x8192x64_pct_of_best_tuned_baseline",
         "value": round(fa_pct, 2),
         "unit": "%",
         # north-star: within 1.1x of splash -> >=90.9%; >=100% beats it
         "vs_baseline": round(fa_pct / 100.0, 4),
-        "passes": fa.passes,
+        "passes": fa_passes,
     }
+    if "fa" in errors:
+        fa_line["error"] = errors["fa"]
     print(json.dumps(fa_line))
 
-    g4 = gemm_suite(4096, GEMM_4096_CFGS, "gemm4096", passes=3)
-    k4 = g4.gate()
-    r4 = [p["ratio"] for p in k4]
+    r4 = []
+    g4_passes = []
+    try:
+        g4 = gemm_suite(4096, GEMM_4096_CFGS, "gemm4096", passes=3)
+        r4 = [p["ratio"] for p in g4.gate()]
+        g4_passes = g4.passes
+    except Exception as e:
+        errors["gemm4096"] = f"{type(e).__name__}: {str(e)[:200]}"
+        print(f"# gemm4096 suite FAILED: {errors['gemm4096']}",
+              file=sys.stderr)
 
-    g12 = gemm_suite(12288, GEMM_12288_CFGS, "gemm12288", passes=5,
-                     iters=(4, 16))
-    kept = g12.gate()
-    ratios = [p["ratio"] for p in kept]
+    ratios = []
+    g12_passes = []
+    try:
+        g12 = gemm_suite(12288, GEMM_12288_CFGS, "gemm12288", passes=5,
+                         iters=(4, 16))
+        ratios = [p["ratio"] for p in g12.gate()]
+        g12_passes = g12.passes
+    except Exception as e:
+        errors["gemm12288"] = f"{type(e).__name__}: {str(e)[:200]}"
+        print(f"# gemm12288 suite FAILED: {errors['gemm12288']}",
+              file=sys.stderr)
+
     pct = max(ratios) if ratios else 0.0
     floor = min(ratios) if ratios else 0.0
-    print(f"# headline: 12288^3 max same-pass ratio over {len(kept)} kept "
+    g4_best = max(r4, default=0.0)
+    print(f"# headline: 12288^3 max same-pass ratio over {len(ratios)} kept "
           f"passes = {pct:.1f}% (floor {floor:.1f}%); 4096^3 best "
-          f"{max(r4, default=0):.1f}%; fa = {fa_pct:.1f}%",
+          f"{g4_best:.1f}%; fa = {fa_pct:.1f}%",
           file=sys.stderr)
-    print(json.dumps({
+    line = {
         "metric": "hgemm_bf16_12288_best_pct_of_best_xla",
         "value": round(pct, 2),
         "unit": "%",
-        # north-star: >=95% of best XLA; >=100% beats it
-        "vs_baseline": round(pct / 95.0, 4),
+        # north-star (BASELINE.json): >=100% at the certified 12288^3
+        # shape; >=95% at 4096^3 (reported below as its own first-class
+        # ratio so the 95% target is measured at the shape it was
+        # defined for — ADVICE r4 item 2)
+        "vs_baseline": round(pct / 100.0, 4),
         "min_pass": round(floor, 2),
-        "passes": g12.passes,
+        "passes": g12_passes,
         "note": ("12288^3 is the certified win shape; 4096^3 is a "
                  "documented structural loss (every larger-tile Pallas "
                  "config exceeds the 16MB VMEM budget; ~3% grid-step "
                  "overhead at 128 steps) — see bench.py docstring"),
-        "gemm4096_best_pct": round(max(r4, default=0.0), 2),
+        "gemm4096_best_pct": round(g4_best, 2),
+        "gemm4096_vs_target95": round(g4_best / 95.0, 4),
         "gemm4096_min_pass": round(min(r4, default=0.0), 2),
-        "gemm4096_passes": g4.passes,
+        "gemm4096_passes": g4_passes,
         "fa_pct_of_best_tuned_baseline": round(fa_pct, 2),
-        "fa_passes": fa.passes,
-    }))
+        "fa_passes": fa_passes,
+    }
+    if errors:
+        line["errors"] = errors
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":

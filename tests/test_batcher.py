@@ -420,3 +420,28 @@ def test_prefix_cache_batcher(setup):
     # (40 tokens -> 2 full pages shared from slot 0)
     t = np.asarray(cb.cache.page_table)
     assert (t[1, :2] == t[0, :2]).all()
+
+
+def test_tp_speculative_batcher_matches_single_device(setup):
+    """TP speculative batching: draft + paged-verify steps shard_mapped
+    over a 2-device "tp" mesh emit exactly the single-device target-only
+    greedy streams (the speculative invariant, under tensor parallelism)."""
+    from jax.sharding import Mesh
+
+    from tpukern.models.batcher import TPSpeculativeBatcher
+
+    params, prompts = setup
+    mesh = Mesh(np.array(jax.devices()[:2]), ("tp",))
+    draft_cfg = Config(vocab=CFG.vocab, d_model=64, n_layers=1,
+                       n_heads=2, n_kv_heads=2, d_ff=128, max_seq=512)
+    draft = init_params(draft_cfg, jax.random.key(7))
+    refs = [_reference_tokens(params, p) for p in prompts]
+
+    sb = TPSpeculativeBatcher(params, CFG, draft, draft_cfg, n_slots=2,
+                              pages_per_seq=2, mesh=mesh, gamma=3,
+                              page_size=128, max_new_tokens=N_NEW,
+                              prompt_buckets=(64,))
+    finished = sb.run([(i, p) for i, p in enumerate(prompts)])
+    assert set(finished) == {0, 1, 2}
+    for i, ref in enumerate(refs):
+        assert finished[i] == ref, (i, finished[i], ref)

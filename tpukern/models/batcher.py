@@ -660,3 +660,108 @@ class TPContinuousBatcher(ContinuousBatcher):
                       P()),
             out_specs=(P(), cache_spec), check_vma=False))
         return self._chunk_fn
+
+
+class TPSpeculativeBatcher(SpeculativeBatcher, TPContinuousBatcher):
+    """Speculative continuous batching over a ("tp",) mesh.
+
+    Target AND draft serving steps (prefill / decode / gamma draft steps /
+    batched verify) are shard_mapped over the mesh's "tp" axis with the
+    make_tp_serving layout — Megatron param splits, kv-head-sharded page
+    pools for BOTH models' caches. The host-side scheduler, per-slot
+    acceptance rule, and the exactness invariants (greedy streams equal
+    target-only greedy; sampled marginals equal target-only sampling) are
+    inherited unchanged from SpeculativeBatcher. Requires target and
+    draft n_kv_heads (and d_ff) divisible by the tp degree."""
+
+    def __init__(self, params, cfg, draft_params, draft_cfg, n_slots,
+                 pages_per_seq, mesh, **kw):
+        from tpukern.models.serving import tp_local_cfg
+
+        # mesh flows to TPContinuousBatcher.__init__ through the MRO
+        # (SpeculativeBatcher passes **kw up); the draft's tp-local cfg
+        # must exist before any draft fn is built
+        self._dlcfg = tp_local_cfg(draft_cfg, mesh.shape["tp"])
+        super().__init__(params, cfg, draft_params, draft_cfg, n_slots,
+                         pages_per_seq, mesh=mesh, **kw)
+
+    def _ddecode_fn(self, ppb):
+        if ppb not in self._ddecode_fns:
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            from tpukern.models.serving import tp_cache_spec
+            from tpukern.models.transformer import param_specs
+
+            dlcfg = self._dlcfg
+            cache_spec = tp_cache_spec(self.dcache.quantized)
+
+            def fn(p, toks, cache, act):
+                return decode_step(p, dlcfg, toks, cache, active=act,
+                                   pages_per_block=ppb, tp_axis="tp")
+
+            self._ddecode_fns[ppb] = jax.jit(shard_map(
+                fn, mesh=self.mesh,
+                in_specs=(param_specs(self.draft_cfg), P(), cache_spec,
+                          P()),
+                out_specs=(P(), cache_spec), check_vma=False))
+        return self._ddecode_fns[ppb]
+
+    def _verify_fn(self, ppb):
+        if ppb not in self._verify_fns:
+            from jax import shard_map
+            from jax.sharding import PartitionSpec as P
+
+            from tpukern.models.serving import tp_cache_spec
+            from tpukern.models.transformer import param_specs
+
+            lcfg = self._lcfg
+            cache_spec = tp_cache_spec(self.cache.quantized)
+
+            def fn(p, toks, cache):
+                return verify_step(p, lcfg, toks, cache,
+                                   pages_per_block=ppb, tp_axis="tp")
+
+            self._verify_fns[ppb] = jax.jit(shard_map(
+                fn, mesh=self.mesh,
+                in_specs=(param_specs(self.cfg), P(), cache_spec),
+                out_specs=(P(), cache_spec), check_vma=False))
+        return self._verify_fns[ppb]
+
+    def _prefill_fn(self, bucket, cfg=None):
+        # target admission: TPContinuousBatcher's shard_mapped prefill
+        if cfg is None or cfg is self.cfg:
+            return TPContinuousBatcher._prefill_fn(self, bucket)
+        # draft admission: same single-slot-view prefill, draft layout
+        from jax import shard_map
+        from jax.sharding import PartitionSpec as P
+
+        from tpukern.models.serving import tp_cache_spec
+        from tpukern.models.transformer import param_specs
+
+        key = (bucket, cfg)
+        if key in self._prefill:
+            return self._prefill[key]
+        dlcfg = self._dlcfg
+        cache_spec = tp_cache_spec(self.dcache.quantized)
+
+        def fn(params, tokens, true_len, cache, slot):
+            view = KVCache(
+                cache.k_pages, cache.v_pages,
+                jax.lax.dynamic_slice_in_dim(cache.page_table, slot, 1),
+                jnp.zeros((1,), jnp.int32),
+                cache.k_scales, cache.v_scales, ring=cache.ring)
+            logits, view = prefill(params, dlcfg, tokens, view,
+                                   last_index=true_len[None] - 1,
+                                   tp_axis="tp")
+            lengths = cache.lengths.at[slot].set(true_len)
+            return logits[0], KVCache(view.k_pages, view.v_pages,
+                                      cache.page_table, lengths,
+                                      view.k_scales, view.v_scales,
+                                      ring=cache.ring)
+
+        self._prefill[key] = jax.jit(shard_map(
+            fn, mesh=self.mesh,
+            in_specs=(param_specs(cfg), P(), P(), cache_spec, P()),
+            out_specs=(P(), cache_spec), check_vma=False))
+        return self._prefill[key]

@@ -355,7 +355,7 @@ def flash_attention(q, k, v, *, causal=False, sm_scale=None,
                     return_stats=False, alibi_slopes=None,
                     causal_offset=0, window=None, sinks=None, carry=None,
                     return_carry=False, segment_ids=None, softcap=None,
-                    duo=False, interpret=None):
+                    duo=False, diag_quadrant=None, interpret=None):
     """FA-2 forward. q: (B, Hq, Sq, D); k, v: (B, Hkv, Skv, D), Hkv | Hq.
 
     alibi_slopes: optional (Hq,) per-head ALiBi slopes (linear position
@@ -483,11 +483,21 @@ def flash_attention(q, k, v, *, causal=False, sm_scale=None,
     # Exactly-diagonal quadrant decomposition (see _fa_kernel.body_diag):
     # only when the masked pl.when region is provably the single aligned
     # diagonal block and no feature re-shapes the mask.
-    diag_quadrant = (causal and bq == bk and isinstance(causal_offset, int)
-                     and causal_offset % bk == 0 and Skv % bk == 0
-                     and window is None and not has_alibi
-                     and segment_ids is None and softcap is None
-                     and not duo)
+    _diag_ok = (causal and bq == bk and isinstance(causal_offset, int)
+                and causal_offset % bk == 0 and Skv % bk == 0
+                and window is None and not has_alibi
+                and segment_ids is None and softcap is None
+                and not duo)
+    if diag_quadrant is None:
+        # When the KV grid is a SINGLE block (Skv_p == bk) every grid
+        # step is the diagonal block, so the two-chain decomposition
+        # replaces 100% of the work instead of specializing a 1/Tc
+        # fraction — measured 30%/20% slower at (D=64/128, S=1024)
+        # (BENCH_NOTES round 4/5; ADVICE r4 item 1). Interior blocks are
+        # what amortize it: require at least one.
+        diag_quadrant = _diag_ok and Skv_p > bk
+    else:
+        diag_quadrant = bool(diag_quadrant) and _diag_ok
     kernel = functools.partial(
         _fa_kernel, causal=causal,
         block_q=bq, block_k=bk, with_stats=return_stats,

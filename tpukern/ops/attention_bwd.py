@@ -475,8 +475,29 @@ FUSED_BWD_DQ_BUDGET = 4 * 2 ** 20
 
 # HBM cap for the non-resident tier's dQ partials tensor
 # (nK * B * H * Sq_p * D * itemsize); above it the auto dispatch falls
-# back to the two-kernel design rather than materialize multi-GB scratch
-FUSED_BWD_PARTIALS_BUDGET = 4 * 2 ** 30
+# back to the two-kernel design rather than materialize multi-GB scratch.
+# Scaled to 1/4 of the device's HBM when the backend reports a limit
+# (ADVICE r4: a fixed 4 GiB can OOM jobs already near capacity on
+# smaller parts), else the 4 GiB v5e-calibrated default (16 GB / 4).
+FUSED_BWD_PARTIALS_DEFAULT = 4 * 2 ** 30
+_PARTIALS_BUDGET_CACHE = []
+
+
+def fused_bwd_partials_budget():
+    """Resolve the HBM budget for non-resident fused-backward dQ partials
+    (cached after the first call). 1/4 of memory_stats()['bytes_limit']
+    when the backend exposes it, else FUSED_BWD_PARTIALS_DEFAULT."""
+    if not _PARTIALS_BUDGET_CACHE:
+        budget = FUSED_BWD_PARTIALS_DEFAULT
+        try:
+            stats = jax.local_devices()[0].memory_stats() or {}
+            limit = stats.get("bytes_limit", 0)
+            if limit > 0:
+                budget = limit // 4
+        except Exception:
+            pass  # CPU/interpret backends without memory_stats
+        _PARTIALS_BUDGET_CACHE.append(budget)
+    return _PARTIALS_BUDGET_CACHE[0]
 
 
 def _bwd_fused(q, k, v, do, lse8, di8, *, B, H, D, Sq, Skv, Sq_p, Skv_p,
@@ -551,7 +572,16 @@ def flash_attention_bwd(q, k, v, o, lse, do, *, causal=False, sm_scale=None,
     transposed: None = auto (transposed-layout kernels at D <= 64),
     True/False forces the choice. window/softcap/segment_ids mirror the
     forward's features (ops/attention.py) and run on the standard-layout
-    kernels (the transposed twins stay the plain fast path)."""
+    kernels (the transposed twins stay the plain fast path).
+
+    HBM footprint note: the fused default at D > 128 (or Sq*D*4 > 4 MB)
+    takes the non-resident dQ tier, which materializes an HBM partials
+    tensor of ceil(Skv/bk) * B * H * Sq_padded * D * q.itemsize bytes
+    (~1-2 GB at the D=256/512 flagship shapes) plus one XLA reduce pass.
+    The auto path caps this at fused_bwd_partials_budget() — 1/4 of
+    device HBM when the backend reports it — and falls back to the
+    two-kernel design beyond; jobs running near HBM capacity can force
+    fused=False to avoid the scratch entirely."""
     B, H, Sq, D = q.shape
     Skv = k.shape[2]
     featured_early = (window is not None or softcap is not None
@@ -655,7 +685,8 @@ def flash_attention_bwd(q, k, v, o, lse, do, *, causal=False, sm_scale=None,
         dq_resident = D <= 128 and Sq_p * D * 4 <= FUSED_BWD_DQ_BUDGET
         partial_bytes = (cdiv(Skv_p, bk) * B * H * Sq_p * D
                          * jnp.dtype(q.dtype).itemsize)
-        if not dq_resident and partial_bytes > FUSED_BWD_PARTIALS_BUDGET:
+        if (not dq_resident
+                and partial_bytes > fused_bwd_partials_budget()):
             # very long non-resident sequences would materialize a
             # multi-GB partials tensor; the two-kernel design is the
             # honest fallback there (auto path only — a caller forcing
@@ -663,7 +694,7 @@ def flash_attention_bwd(q, k, v, o, lse, do, *, causal=False, sm_scale=None,
             if fused_explicit:
                 raise ValueError(
                     f"fused backward dQ partials need {partial_bytes} "
-                    f"bytes of HBM (budget {FUSED_BWD_PARTIALS_BUDGET}); "
+                    f"bytes of HBM (budget {fused_bwd_partials_budget()}); "
                     f"use fused=False")
             fused = False
     if fused:
