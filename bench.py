@@ -56,32 +56,74 @@ import jax
 import jax.numpy as jnp
 
 
-def wait_for_backend(max_wait_s=900, sleep_s=30):
-    """Poll jax.devices() until the TPU backend initializes.
+def wait_for_backend(max_wait_s=900, sleep_s=30, probe_timeout_s=90):
+    """Poll the TPU backend until it initializes AND answers a compute.
 
     Round 4's graded artifact was zeroed by a transient axon-tunnel
-    outage at exactly this point (BENCH_r04.json rc=1): one backend-init
-    exception killed the whole artifact with no retry. The outage is
-    transient (the judge reproduced the hang, and the backend recovered
-    by round 5), so retry for up to max_wait_s before giving up.
-    Returns the device list on success, None on timeout.
+    outage at exactly this point (BENCH_r04.json rc=1). Two failure
+    modes observed: backend init raising, and — worse — jax.devices()
+    or the first dispatch HANGING indefinitely (the round-4/round-5
+    outages both hang rather than raise). So each probe runs in a
+    SUBPROCESS with a hard timeout: a hang costs probe_timeout_s, not
+    the whole artifact. Only after a subprocess probe passes do we
+    touch jax in-process. Returns True on success, None on timeout.
     """
+    import subprocess
     deadline = time.time() + max_wait_s
     attempt = 0
+    probe = ("import jax, jax.numpy as jnp; "
+             "x = jnp.ones((128, 128), jnp.bfloat16); "
+             "print('SUM', float((x @ x).sum()))")
     while True:
         attempt += 1
         try:
-            devs = jax.devices()
-            if devs:
-                print(f"# backend up after {attempt} attempt(s): {devs}",
+            r = subprocess.run([sys.executable, "-c", probe],
+                               capture_output=True, text=True,
+                               timeout=probe_timeout_s)
+            if r.returncode == 0 and "SUM" in r.stdout:
+                print(f"# backend up after {attempt} probe(s)",
                       file=sys.stderr)
-                return devs
+                return True
+            print(f"# backend probe {attempt}: rc={r.returncode} "
+                  f"{(r.stderr or r.stdout)[-160:]}", file=sys.stderr)
+        except subprocess.TimeoutExpired:
+            print(f"# backend probe {attempt}: HUNG >{probe_timeout_s}s "
+                  f"(tunnel outage)", file=sys.stderr)
         except Exception as e:
-            print(f"# backend init attempt {attempt} failed: "
+            print(f"# backend probe {attempt} failed: "
                   f"{type(e).__name__}: {str(e)[:160]}", file=sys.stderr)
         if time.time() >= deadline:
             return None
         time.sleep(sleep_s)
+
+
+class SuiteTimeout(Exception):
+    pass
+
+
+class suite_alarm:
+    """Hard wall-clock bound on one suite: if the tunnel dies MID-run
+    (RPCs hang rather than raise), the suite degrades to an error key
+    in the artifact instead of hanging the driver forever."""
+
+    def __init__(self, seconds):
+        self.seconds = seconds
+
+    def __enter__(self):
+        import signal
+        self._old = signal.signal(
+            signal.SIGALRM,
+            lambda *_: (_ for _ in ()).throw(
+                SuiteTimeout(f"suite exceeded {self.seconds}s "
+                             f"(tunnel hang?)")))
+        signal.alarm(self.seconds)
+        return self
+
+    def __exit__(self, *exc):
+        import signal
+        signal.alarm(0)
+        signal.signal(signal.SIGALRM, self._old)
+        return False
 
 
 def emit_unavailable(error):
@@ -319,7 +361,8 @@ def main():
     errors = {}
     fa_pct, fa_passes = 0.0, []
     try:
-        fa = fa_suite()
+        with suite_alarm(2700):
+            fa = fa_suite()
         fa_kept = fa.gate()
         fa_pct = 100.0 * max((p["ratio"] / 100.0 for p in fa_kept),
                              default=0.0)
@@ -342,7 +385,8 @@ def main():
     r4 = []
     g4_passes = []
     try:
-        g4 = gemm_suite(4096, GEMM_4096_CFGS, "gemm4096", passes=3)
+        with suite_alarm(2700):
+            g4 = gemm_suite(4096, GEMM_4096_CFGS, "gemm4096", passes=3)
         r4 = [p["ratio"] for p in g4.gate()]
         g4_passes = g4.passes
     except Exception as e:
@@ -353,8 +397,9 @@ def main():
     ratios = []
     g12_passes = []
     try:
-        g12 = gemm_suite(12288, GEMM_12288_CFGS, "gemm12288", passes=5,
-                         iters=(4, 16))
+        with suite_alarm(2700):
+            g12 = gemm_suite(12288, GEMM_12288_CFGS, "gemm12288",
+                             passes=5, iters=(4, 16))
         ratios = [p["ratio"] for p in g12.gate()]
         g12_passes = g12.passes
     except Exception as e:

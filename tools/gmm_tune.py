@@ -211,11 +211,12 @@ def w8a16_msweep(passes):
             flush=True)
 
 
-def w8a16_boundary(passes):
-    """Block-config probe at the two measured dispatch losses (M=64
-    0.79x, M=256 0.93x vs dequant-XLA — BENCH_NOTES round 4 M-sweep).
-    If no config beats dequant-XLA, the dispatch window narrows; if one
-    does, it becomes the M-tier block default."""
+def w8a16_boundary(passes, Ms=(64, 256)):
+    """Block-config probe at the measured dispatch losses (M=64 0.79x,
+    M=256 0.93x vs dequant-XLA — BENCH_NOTES round 4 M-sweep; round 5
+    re-targets M in {192,256,384}, the batched-decode band, per ADVICE
+    r4 item 3). If no config beats dequant-XLA, the dispatch window
+    narrows; if one does, it becomes the M-tier block default."""
     K = N = 4096
     rng = np.random.default_rng(0)
     w = jnp.asarray(rng.standard_normal((K, N)) * 0.05, jnp.float32)
@@ -223,7 +224,7 @@ def w8a16_boundary(passes):
     dq_xla = jax.jit(lambda x, q, s: jnp.dot(
         x, q.astype(jnp.bfloat16) * s[None, :].astype(jnp.bfloat16),
         preferred_element_type=jnp.float32).astype(x.dtype))
-    for M in (64, 256):
+    for M in Ms:
         x = jnp.asarray(rng.standard_normal((M, K)), jnp.bfloat16)
         flops = 2 * M * K * N
         cands = [(bn, bk) for bn in (512, 1024, 2048, 4096)
@@ -255,6 +256,8 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--passes", type=int, default=3)
     ap.add_argument("--which", default="gmm,w8a16")
+    ap.add_argument("--Ms", default="64,256",
+                    help="boundary probe M values")
     args = ap.parse_args()
     which = args.which.split(",")
     if "gmm" in which:
@@ -266,7 +269,8 @@ def main():
     if "msweep" in which:
         w8a16_msweep(args.passes)
     if "boundary" in which:
-        w8a16_boundary(args.passes)
+        w8a16_boundary(args.passes,
+                       tuple(int(m) for m in args.Ms.split(",")))
 
 
 if __name__ == "__main__":
