@@ -7,7 +7,7 @@ these tests pin the two failure modes round 2-4 kept re-finding:
 
 1. a doc existing for fewer families than the registry serves (25/27),
    or a doc's variant table disagreeing with the live registry;
-2. a frozen log row claiming impossible physics (>103% of a hardware
+2. a frozen log row claiming impossible physics (>100% of a hardware
    roofline — a tunnel timing glitch frozen as an expectation, e.g.
    the 1416 GB/s layer_norm row on an 819 GB/s part).
 """
@@ -76,8 +76,8 @@ def test_doc_frozen_log_respects_physics(family):
     path = os.path.join(DOCS, f"{family}.md")
     assert os.path.exists(path), f"{family}.md missing"
     bad = [ln for ln in open(path) if (m := _ROOF.search(ln))
-           and float(m.group(1)) > 103.0]
+           and float(m.group(1)) > 100.0]
     assert not bad, (
-        f"{family}.md freezes physically impossible rows (>103% of "
+        f"{family}.md freezes physically impossible rows (>100% of "
         f"roofline — timing glitches must be dropped, not published): "
         f"{bad}")

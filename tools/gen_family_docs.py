@@ -101,10 +101,12 @@ SECTION_HEADER = {
 }
 
 
-# A frozen log must never publish impossible physics (VERDICT r2/r3):
-# rows implying >103% of a hardware peak are tunnel timing glitches (the
-# same gate bench.py and harness.run_benchmark apply), so they are
-# dropped here and counted in the doc rather than silently frozen.
+# A frozen log must never publish impossible physics (VERDICT r2/r3/r4):
+# rows implying >100% of a hardware peak are tunnel timing glitches —
+# a COMMITTED expectation can't exceed the roofline even marginally
+# (819 GB/s HBM / 197 bf16 TFLOPS on v5e), so the doc gate is stricter
+# than the live bench's 103% glitch gate: dropped rows are counted in
+# the doc rather than silently frozen.
 _ROOFLINE_RE = re.compile(r"roofline:\s*([0-9.]+)%")
 
 
@@ -112,7 +114,7 @@ def _sane(ln):
     if "TIMING-GLITCH" in ln:
         return False
     m = _ROOFLINE_RE.search(ln)
-    return not (m and float(m.group(1)) > 103.0)
+    return not (m and float(m.group(1)) > 100.0)
 
 
 def run(cmd, cache={}):
@@ -153,16 +155,36 @@ def extract(family, log):
                      if not re.match(r"^-+ .+ -+$", ln) or True)[:8000]
 
 
+def _frozen_log(family, out_dir):
+    """Recover the existing doc's frozen sample log (the ``` block)."""
+    import os
+    path = os.path.join(out_dir, f"{family}.md")
+    if not os.path.exists(path):
+        return None
+    text = open(path).read()
+    m = re.search(r"```\n(.*?)\n```", text, re.S)
+    return m.group(1) if m else None
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="docs/families")
     ap.add_argument("--families", default="")
+    ap.add_argument("--from-frozen", action="store_true",
+                    help="rebuild docs WITHOUT running benches: live "
+                         "registry variant tables + the existing doc's "
+                         "frozen log re-filtered through the physics "
+                         "gate (for when the TPU tunnel is down; a full "
+                         "regen replaces the logs when it returns)")
     args = ap.parse_args()
     import os
     os.makedirs(args.out, exist_ok=True)
 
-    import jax
-    device = jax.devices()[0].device_kind
+    if args.from_frozen:
+        device = "TPU v5 lite (frozen log, re-filtered)"
+    else:
+        import jax
+        device = jax.devices()[0].device_kind
 
     fams = (args.families.split(",") if args.families
             else sorted(COMMANDS))
@@ -170,14 +192,22 @@ def main():
         variants = registry.variants(family)
         mod = importlib.import_module(MODULES[family])
         summary = (mod.__doc__ or "").strip()
-        log = extract(family, run(COMMANDS[family]))
-        raw_lines = log.splitlines()
+        if args.from_frozen:
+            log = _frozen_log(family, args.out)
+            if log is None:
+                print(f"skip {family}: no existing doc to refilter",
+                      flush=True)
+                continue
+        else:
+            log = extract(family, run(COMMANDS[family]))
+        raw_lines = [ln for ln in log.splitlines()
+                     if "row(s) dropped" not in ln]
         kept = [ln for ln in raw_lines if _sane(ln)]
         dropped = len(raw_lines) - len(kept)
         log = "\n".join(kept)
         if dropped:
             log += (f"\n# ({dropped} row(s) dropped: timing glitch "
-                    f">103% of hardware roofline)")
+                    f">100% of hardware roofline)")
         baseline = [n for n, v in variants.items() if "baseline" in v.tags]
         rows = "\n".join(
             f"| `{n}` | {'baseline' if n in baseline else 'pallas kernel'} |"
