@@ -638,3 +638,24 @@ def test_attention_sinks(rng):
     base = attn.flash_attention(q, k, v, causal=True, window=W,
                                 block_q=128, block_k=128)
     assert np.abs(np.asarray(out) - np.asarray(base)).max() > 1e-3
+
+
+def test_causal_small_s_large_d_default(rng):
+    """Round-5 per-(D,S) causal dispatch class: at D >= 512 and
+    Sq <= 1024 the default blocks drop to 512x512 (6-adjacent-sample
+    A/B, tools/fa_cfg_ab.py: 512x512 min 71.2 > 1024-default max 65.8
+    TFLOPS on every sample). The defaulted path must stay numerically
+    exact vs the reference, and must differ from the forced-1024 path
+    only in schedule (identical outputs)."""
+    B, H, S, D = 1, 1, 1024, 512
+    q = jnp.asarray(rng.standard_normal((B, H, S, D)) * 0.3, jnp.float32)
+    k = jnp.asarray(rng.standard_normal((B, H, S, D)) * 0.3, jnp.float32)
+    v = jnp.asarray(rng.standard_normal((B, H, S, D)) * 0.3, jnp.float32)
+    out = attn.flash_attention(q, k, v, causal=True)  # defaulted blocks
+    ref = attn.attention_ref(q, k, v, causal=True)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                               rtol=2e-4, atol=2e-4)
+    forced = attn.flash_attention(q, k, v, causal=True,
+                                  block_q=1024, block_k=1024)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(forced),
+                               rtol=2e-4, atol=2e-4)

@@ -425,20 +425,30 @@ def flash_attention(q, k, v, *, causal=False, sm_scale=None,
     # dominates small tiles, VMEM caps large ones (scale with D), and
     # causal prefers bq >= bk (block-level triangle skipping wastes less
     # of each KV block near the diagonal)
+    # per-(D,S) causal class (round-5 6-adjacent-sample A/B,
+    # tools/fa_cfg_ab.py at B=1 H=8 S=1024 D=512: 512x512 min 71.2 >
+    # 1024-default max 65.8 TFLOPS on every sample — at Sq <= 1024 the
+    # 1024 tile leaves a (1,H,1,1)-ish grid with no diagonal interior to
+    # amortize, while 512 tiles restore 4 causal blocks incl. one
+    # interior). D=256 prefers the 1024 default at the same S (probe
+    # 69.1 vs 62.6) and D=512 S=2048 does too (107.1 vs 96.5), so the
+    # entry is exactly this class.
+    _small_s_large_d = causal and D >= 512 and Sq <= 1024
     if block_q is None:
         # bq=1024 at EVERY D (round-3 non-causal sweep: (1024,1024) wins
         # at D=256 167.7 and D=512 172.2 TFLOPS — 1.02x/1.04x of tuned
         # splash; round-4 causal tune: same shape wins causal too)
-        block_q = 1024
+        block_q = 512 if _small_s_large_d else 1024
     if block_k is None:
         if causal:
-            # causal: bq=bk=1024 at EVERY D (round-4 re-tune,
+            # causal: bq=bk=1024 at every head dim except the
+            # small-S/large-D class above (round-4 re-tune,
             # tools/fa512_tune.py --causal: (1024,1024) wins 110.6-119.4%
             # of best splash at D in {256,512} x S in {4096,8192}; the
             # round-2-era 512/256 KV blocks lost up to 31%). Equal
             # aligned blocks also enable the diagonal-quadrant body and
             # the frontier KV-index pinning (see diag_quadrant below).
-            block_k = 1024
+            block_k = 512 if _small_s_large_d else 1024
         else:
             block_k = 2048 if (D <= 128 and Skv >= 4096) else 1024
     bq = min(block_q, Sq)
