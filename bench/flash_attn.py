@@ -38,7 +38,9 @@ def get_args():
                         "splash, saved to bench/plots/fa_sweep*.png (the "
                         "reference's published benchmark grid, "
                         "flash_attn_mma.py:431-434)")
-    p.add_argument("--plot", default="bench/plots/fa_sweep.png")
+    p.add_argument("--plot", default=None,
+                   help="plot path; defaults to bench/plots/"
+                        "fa_sweep[_causal].png per --causal")
     p.add_argument("--sweep-passes", type=int, default=1,
                    help="best-of-N interleaved passes per sweep-plot point")
     p.add_argument("--causal", action="store_true")
@@ -85,8 +87,13 @@ def sweep_plot(args):
             fl = 4 * B * H * S * S * D // (2 if causal else 1)
 
             def t(fn):
-                return fl / device_time(fn, q, k, v, iters_lo=4,
-                                        iters_hi=12) / 1e12
+                tf = fl / device_time(fn, q, k, v, iters_lo=4,
+                                      iters_hi=12) / 1e12
+                # v5e bf16 peak is 197 TFLOPS: a sample above it is a
+                # tunnel timing glitch, not a fast kernel — discard it
+                # so best-of-passes can never freeze impossible physics
+                # (the same gate as bench.py / tools/fa_cfg_ab.py)
+                return tf if tf <= 197.0 else 0.0
 
             # best over --sweep-passes interleaved passes per point: both
             # sides sampled adjacently each pass, so thin margins aren't
@@ -147,6 +154,9 @@ def main():
     import contextlib
     args = get_args()
     if args.sweep_plot:
+        if args.plot is None:
+            args.plot = ("bench/plots/fa_sweep_causal.png" if args.causal
+                         else "bench/plots/fa_sweep.png")
         sweep_plot(args)
         return
     stack = contextlib.ExitStack()

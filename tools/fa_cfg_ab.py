@@ -48,9 +48,14 @@ def main():
     def mk(cfg):
         if cfg == "auto":
             return lambda q, k, v: flash_attention(q, k, v, causal=causal)
+        # "1024x1024d" forces diag_quadrant=True, "...n" forces it off
+        dq = None
+        if cfg.endswith(("d", "n")):
+            dq, cfg = cfg.endswith("d"), cfg[:-1]
         bq, bk = (int(x) for x in cfg.split("x"))
         return lambda q, k, v: flash_attention(
-            q, k, v, causal=causal, block_q=bq, block_k=bk)
+            q, k, v, causal=causal, block_q=bq, block_k=bk,
+            diag_quadrant=dq)
 
     cands = {c: mk(c) for c in args.cfgs.split(",")}
     cands["splash_512x1024"] = lambda q, k, v: splash_baseline(
