@@ -659,3 +659,23 @@ def test_causal_small_s_large_d_default(rng):
                                   block_q=1024, block_k=1024)
     np.testing.assert_allclose(np.asarray(out), np.asarray(forced),
                                rtol=2e-4, atol=2e-4)
+
+
+def test_causal_single_block_diag_mxu_class(rng):
+    """Round-5 gate refinement: at a SINGLE KV block the quadrant body
+    is auto-enabled only for the MXU-bound head dims (D >= 256, where
+    it wins every adjacent A/B sample: 75.2-76.8 vs 61.3-65.5 TFLOPS at
+    D=256 S=1024) and stays off for the VPU-bound ones. Pin both
+    defaulted paths numerically against the reference."""
+    B, H, S = 1, 1, 1024
+    for D in (128, 256):
+        q = jnp.asarray(rng.standard_normal((B, H, S, D)) * 0.3,
+                        jnp.float32)
+        k = jnp.asarray(rng.standard_normal((B, H, S, D)) * 0.3,
+                        jnp.float32)
+        v = jnp.asarray(rng.standard_normal((B, H, S, D)) * 0.3,
+                        jnp.float32)
+        out = attn.flash_attention(q, k, v, causal=True)
+        ref = attn.attention_ref(q, k, v, causal=True)
+        np.testing.assert_allclose(np.asarray(out), np.asarray(ref),
+                                   rtol=2e-4, atol=2e-4)

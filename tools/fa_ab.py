@@ -56,13 +56,18 @@ def main():
 
         def sample():
             t_pk = device_time(pk, q, k, v, iters_lo=4, iters_hi=12)
-            t_base = min(
-                device_time(lambda q, k, v, _bq=bq, _bkv=bkv:
-                            splash_baseline(q, k, v, causal=causal,
-                                            block_q=_bq, block_kv=_bkv),
-                            q, k, v, iters_lo=4, iters_hi=12)
-                for bq, bkv in spl_cfgs)
-            return t_pk, t_base, fwd_fl
+            ts = []
+            for bq, bkv in spl_cfgs:
+                try:  # large-D shapes VMEM-OOM the 2048-KV splash config
+                    ts.append(device_time(
+                        lambda q, k, v, _bq=bq, _bkv=bkv:
+                        splash_baseline(q, k, v, causal=causal,
+                                        block_q=_bq, block_kv=_bkv),
+                        q, k, v, iters_lo=4, iters_hi=12))
+                except Exception as e:
+                    print(f"  # splash {bq}x{bkv} fail: {str(e)[:70]}",
+                          flush=True)
+            return t_pk, min(ts), fwd_fl
     else:
         fb = 512 if D >= 512 else 1024
         o, lse = flash_attention(q, k, v, causal=causal,

@@ -502,10 +502,14 @@ def flash_attention(q, k, v, *, causal=False, sm_scale=None,
         # When the KV grid is a SINGLE block (Skv_p == bk) every grid
         # step is the diagonal block, so the two-chain decomposition
         # replaces 100% of the work instead of specializing a 1/Tc
-        # fraction — measured 30%/20% slower at (D=64/128, S=1024)
-        # (BENCH_NOTES round 4/5; ADVICE r4 item 1). Interior blocks are
-        # what amortize it: require at least one.
-        diag_quadrant = _diag_ok and Skv_p > bk
+        # fraction. Whether that pays depends on what bounds the block:
+        # at D <= 128 the block is VPU-bound and the dual-chain overhead
+        # measured 30%/20% slower at S=1024 (ADVICE r4 item 1), but at
+        # D >= 256 it is MXU-bound and skipping 25% of the diagonal
+        # block's MXU work wins on every adjacent A/B sample (75.2-76.8
+        # vs 61.3-65.5 TFLOPS at D=256 S=1024, tools/fa_cfg_ab.py,
+        # BENCH_NOTES round 5). Interior blocks amortize it regardless.
+        diag_quadrant = _diag_ok and (Skv_p > bk or D >= 256)
     else:
         diag_quadrant = bool(diag_quadrant) and _diag_ok
     kernel = functools.partial(
