@@ -41,7 +41,13 @@ SHAPES = [
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--passes", type=int, default=2)
+    ap.add_argument("--shapes", default="",
+                    help="comma list of MxNxK to run (default: all)")
     args = ap.parse_args()
+    shapes = SHAPES
+    if args.shapes:
+        shapes = [tuple(int(x) for x in s.split("x"))
+                  for s in args.shapes.split(",")]
 
     def t(fn, a, b, jitter=False):
         return device_time(fn, a, b, iters_lo=8, iters_hi=40,
@@ -50,7 +56,7 @@ def main():
     print(f"{'M':>6} {'N':>6} {'K':>6} {'blocks':>16} "
           f"{'tpukern':>9} {'xla':>9} {'ratio':>7}")
     rows = []
-    for (M, N, K) in SHAPES:
+    for (M, N, K) in shapes:
         rng = np.random.default_rng(0)
         a = jnp.asarray(rng.standard_normal((M, K)), jnp.bfloat16)
         b = jnp.asarray(rng.standard_normal((K, N)), jnp.bfloat16)
@@ -69,6 +75,12 @@ def main():
                 a, b, preferred_element_type=jnp.float32
             ).astype(jnp.bfloat16), a, b)
             pk, xla = fl / sec_pk / 1e12, fl / sec_xla / 1e12
+            if pk > 197.0 or xla > 197.0:
+                # above the v5e bf16 peak: tunnel timing glitch — void
+                # the pass (same gate as bench.py / fa tooling)
+                print(f"  # pass voided: pk {pk:.1f} / xla {xla:.1f} "
+                      f"TFLOPS exceeds the 197 roofline", flush=True)
+                continue
             best_ratio = max(best_ratio, pk / xla)  # same-phase pair
             best_pk, best_xla = max(best_pk, pk), max(best_xla, xla)
         rows.append((M, N, K, blk, best_pk, best_xla, best_ratio))
