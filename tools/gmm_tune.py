@@ -252,14 +252,69 @@ def w8a16_boundary(passes, Ms=(64, 256)):
                   f"{best['dq_xla'] / t:5.2f}x dq", flush=True)
 
 
+def w8a16_ab(samples, Ms, cfgs):
+    """Adjacent-pair A/B for dispatch-boundary verdicts (the protocol
+    that settled the round-4 M<=128 window): each sample times dq_xla
+    and every candidate back-to-back in the same tunnel phase; a sample
+    containing a >197 TFLOPS row (above the v5e bf16 roofline) is void.
+    A boundary/default only moves on a candidate that wins its pairwise
+    ratio on EVERY kept sample."""
+    K = N = 4096
+    rng = np.random.default_rng(0)
+    w = jnp.asarray(rng.standard_normal((K, N)) * 0.05, jnp.float32)
+    q, s = quantize_weights(w)
+    dq_xla = jax.jit(lambda x, q, s: jnp.dot(
+        x, q.astype(jnp.bfloat16) * s[None, :].astype(jnp.bfloat16),
+        preferred_element_type=jnp.float32).astype(x.dtype))
+    for M in Ms:
+        x = jnp.asarray(rng.standard_normal((M, K)), jnp.bfloat16)
+        flops = 2 * M * K * N
+        fns = {"dq_xla": dq_xla}
+        for bn, bk in cfgs:
+            fns[f"{bn}x{bk}"] = jax.jit(
+                lambda x, q, s, _b=(bn, bk): matmul_w8a16(
+                    x, q, s, block_n=_b[0], block_k=_b[1],
+                    force_kernel=True))
+        kept = {c: [] for c in fns}
+        for i in range(samples):
+            row = {c: flops / _t(fn, x, q, s) / 1e12
+                   for c, fn in fns.items()}
+            if any(v > 197.0 for v in row.values()):
+                print(f"sample {i + 1}: VOID "
+                      f"({ {c: round(v, 1) for c, v in row.items() if v > 197.0} })",
+                      flush=True)
+                continue
+            for c, v in row.items():
+                kept[c].append(v)
+            print("sample %d: %s" % (i + 1, "  ".join(
+                f"{c} {v:6.1f}" for c, v in row.items())), flush=True)
+        print(f"== w8a16 A/B M={M} ({len(kept['dq_xla'])} kept) ==",
+              flush=True)
+        dq = kept["dq_xla"]
+        for c, vals in kept.items():
+            if c == "dq_xla" or not vals:
+                continue
+            rs = [v / d for v, d in zip(vals, dq)]
+            print(f"  {c}: ratios [{min(rs):.3f}, {max(rs):.3f}] "
+                  f"med {sorted(rs)[len(rs) // 2]:.3f} "
+                  f"{'WIN' if min(rs) > 1.0 else 'no'}", flush=True)
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--passes", type=int, default=3)
     ap.add_argument("--which", default="gmm,w8a16")
     ap.add_argument("--Ms", default="64,256",
                     help="boundary probe M values")
+    ap.add_argument("--cfgs", default="512x2048,2048x1024",
+                    help="ab-mode candidate bn x bk configs")
     args = ap.parse_args()
     which = args.which.split(",")
+    if "ab" in which:
+        w8a16_ab(args.passes,
+                 tuple(int(m) for m in args.Ms.split(",")),
+                 [tuple(int(v) for v in c.split("x"))
+                  for c in args.cfgs.split(",")])
     if "gmm" in which:
         tune_gmm(args.passes)
     if "w8a16" in which:
